@@ -1,0 +1,26 @@
+"""contactimplicitmpc_tpu — TPU-native contact-implicit model-predictive
+control.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ContactImplicitMPC.jl (Le Cleac'h, Howell, Schwager, Manchester,
+arXiv:2107.05616): contact dynamics as nonlinear complementarity problems,
+interior-point physics simulation, and real-time contact-implicit MPC —
+batched, jit-compiled, and shardable across TPU meshes.
+"""
+
+from .dims import Dims
+from .env import (ENVIRONMENTS, Environment, environment_2d,
+                  environment_2d_flat, environment_3d, environment_3d_flat,
+                  flat_2d_lc, flat_3d_lc)
+from .models.base import Model, dims_of, dynamics
+from .sim.interior_point import IPOptions, IPResult, ip_solve, z_initialize
+from .sim.residual import (pack_theta, pack_z, pack_z_consistent, residual,
+                           residual_theta_jacobian, residual_z_jacobian,
+                           unpack_theta, unpack_z)
+from .sim.simulator import (SimTrajectory, default_sim_options,
+                            empty_disturbances, empty_policy,
+                            impulse_disturbances, open_loop_disturbances,
+                            open_loop_policy, random_disturbances, simulate,
+                            status)
+
+__version__ = "0.1.0"

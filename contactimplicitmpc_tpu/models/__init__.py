@@ -1,0 +1,11 @@
+from .base import (Model, contact_forces, dims_of, dynamics, e_mapping,
+                   lagrangian_derivatives, velocity_stack)
+from .hopper_2d import Hopper2D, hopper_2d
+from .particle import Particle, particle
+from .particle_2d import Particle2D, particle_2d
+
+MODELS = {
+    "particle": particle,
+    "particle_2D": particle_2d,
+    "hopper_2D": hopper_2d,
+}

@@ -1,0 +1,75 @@
+"""2D Raibert-style hopper (``/root/reference/src/dynamics/hopper_2D/model.jl``).
+
+Configuration q = (x, z, t, r): lateral, vertical, body angle, leg length.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Model
+
+
+class Hopper2D(Model):
+    """hopper_2D/model.jl:10-29,88-110."""
+
+    nq, nu, nw, nc = 4, 2, 2, 1
+
+    def __init__(self, mb=3.0, ml=0.3, Jb=0.75, Jl=0.075,
+                 mu_world=0.8, mu_joint=0.0, g=9.81):
+        self.mb = mb
+        self.ml = ml
+        self.Jb = Jb
+        self.Jl = Jl
+        self.mu_world = mu_world
+        self.mu_joint = mu_joint
+        self.g = g
+        self.joint_friction = (0.0, 0.0, 0.0, 0.0)
+
+    def lagrangian(self, q, v):
+        # hopper_2D/model.jl:31 declares L = 0; analytic M/C below are used.
+        m = jnp.asarray([self.mb + self.ml, self.mb + self.ml,
+                         self.Jb + self.Jl, self.ml], dtype=q.dtype)
+        return 0.5 * jnp.dot(v, m * v) - (self.mb + self.ml) * self.g * q[1]
+
+    def mass_matrix(self, q):
+        """hopper_2D/model.jl:40-45."""
+        return jnp.diag(jnp.asarray(
+            [self.mb + self.ml, self.mb + self.ml,
+             self.Jb + self.Jl, self.ml], dtype=q.dtype))
+
+    def bias(self, q, v):
+        """hopper_2D/model.jl:47-52."""
+        return jnp.asarray(
+            [0.0, (self.mb + self.ml) * self.g, 0.0, 0.0], dtype=q.dtype)
+
+    def kinematics(self, q):
+        """Foot position (hopper_2D/model.jl:34-37)."""
+        return jnp.stack(
+            [q[0] + q[3] * jnp.sin(q[2]),
+             q[1] - q[3] * jnp.cos(q[2])])[None, :]
+
+    def control_jacobian(self, q):
+        """hopper_2D/model.jl:64-67."""
+        z = jnp.zeros((), q.dtype)
+        o = jnp.ones((), q.dtype)
+        return jnp.stack([
+            jnp.stack([z, z, o, z]),
+            jnp.stack([-jnp.sin(q[2]), jnp.cos(q[2]), z, o]),
+        ])
+
+    def disturbance_jacobian(self, q):
+        """hopper_2D/model.jl:69-72."""
+        return jnp.eye(2, 4, dtype=q.dtype)
+
+    def contact_jacobian(self, q):
+        """hopper_2D/model.jl:59-62."""
+        z = jnp.zeros((), q.dtype)
+        o = jnp.ones((), q.dtype)
+        return jnp.stack([
+            jnp.stack([o, z, q[3] * jnp.cos(q[2]), jnp.sin(q[2])]),
+            jnp.stack([z, o, q[3] * jnp.sin(q[2]), -jnp.cos(q[2])]),
+        ])
+
+
+hopper_2d = Hopper2D()

@@ -1,0 +1,45 @@
+"""3D particle model (``/root/reference/src/dynamics/particle/model.jl``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Model
+
+
+class Particle(Model):
+    """Point mass in R³, one contact (particle/model.jl:13-27,113-121)."""
+
+    nq, nu, nw, nc = 3, 3, 3, 1
+
+    def __init__(self, m=1.0, g=9.81, mu_world=1.0, mu_joint=0.0):
+        self.m = m
+        self.g = g
+        self.mu_world = mu_world
+        self.mu_joint = mu_joint
+        self.joint_friction = (0.0, 0.0, 0.0)
+
+    def lagrangian(self, q, v):
+        """particle/model.jl:29-36."""
+        return 0.5 * self.m * jnp.dot(v, v) - self.m * self.g * q[2]
+
+    def mass_matrix(self, q):
+        return self.m * jnp.eye(3, dtype=q.dtype)
+
+    def bias(self, q, v):
+        return jnp.asarray([0.0, 0.0, self.m * self.g], dtype=q.dtype)
+
+    def kinematics(self, q):
+        return q[None, :]
+
+    def control_jacobian(self, q):
+        return jnp.eye(3, dtype=q.dtype)
+
+    def disturbance_jacobian(self, q):
+        return jnp.eye(3, dtype=q.dtype)
+
+    def contact_jacobian(self, q):
+        return jnp.eye(3, dtype=q.dtype)
+
+
+particle = Particle()

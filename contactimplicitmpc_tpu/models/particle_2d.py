@@ -1,0 +1,45 @@
+"""2D particle model (``/root/reference/src/dynamics/particle_2D/model.jl``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Model
+
+
+class Particle2D(Model):
+    """Point mass in R², one contact (particle_2D/model.jl:13-27,106-109)."""
+
+    nq, nu, nw, nc = 2, 2, 2, 1
+
+    def __init__(self, m=1.0, g=9.81, mu_world=1.0, mu_joint=0.0):
+        self.m = m
+        self.g = g
+        self.mu_world = mu_world
+        self.mu_joint = mu_joint
+        self.joint_friction = (0.0, 0.0)
+
+    def lagrangian(self, q, v):
+        """particle_2D/model.jl:29-36."""
+        return 0.5 * self.m * jnp.dot(v, v) - self.m * self.g * q[1]
+
+    def mass_matrix(self, q):
+        return self.m * jnp.eye(2, dtype=q.dtype)
+
+    def bias(self, q, v):
+        return jnp.asarray([0.0, self.m * self.g], dtype=q.dtype)
+
+    def kinematics(self, q):
+        return q[None, :]
+
+    def control_jacobian(self, q):
+        return jnp.eye(2, dtype=q.dtype)
+
+    def disturbance_jacobian(self, q):
+        return jnp.eye(2, dtype=q.dtype)
+
+    def contact_jacobian(self, q):
+        return jnp.eye(2, dtype=q.dtype)
+
+
+particle_2d = Particle2D()

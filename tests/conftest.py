@@ -1,0 +1,22 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding
+tests) and float64 enabled (reference numerics are Float64; the TPU bench
+path runs float32).
+
+NOTE: this image pre-imports jax via sitecustomize (axon TPU tunnel), so
+platform selection must go through jax.config, not environment variables.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

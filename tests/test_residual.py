@@ -1,0 +1,149 @@
+"""Unit tests for the NCP residual layout and values.
+
+Mirrors the reference's index/residual definitions
+(/root/reference/src/simulation/index.jl, simulation.jl:133-158) with
+hand-derived checks on the particle models.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.models import hopper_2d, particle, particle_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+
+
+def test_dims_particle_2d():
+    dims = dims_of(particle_2d, ci.flat_2d_lc)
+    # num_var (index.jl:371-377): nq + 4nc + 2nb = 2 + 4 + 4 = 10
+    assert dims.nz == 10
+    # num_data (index.jl:379-384): 2nq + nu + nw + 2 = 10
+    assert dims.ntheta == 10
+    assert dims.ny == 4
+    assert dims.nb == 2
+
+
+def test_dims_particle_3d():
+    dims = dims_of(particle, ci.flat_3d_lc)
+    assert dims.nb == 4
+    assert dims.nz == 3 + 4 * 1 + 2 * 4  # 15
+    assert dims.ntheta == 3 + 3 + 3 + 3 + 2  # 14
+
+
+def test_pack_unpack_roundtrip():
+    dims = dims_of(hopper_2d, ci.flat_2d_lc)
+    key = jax.random.PRNGKey(0)
+    z = jax.random.uniform(key, (dims.nz,))
+    parts = ci.unpack_z(dims, z)
+    assert np.allclose(ci.pack_z(*parts), z)
+
+
+def test_residual_static_rest_particle_2d():
+    """A 2D particle resting on flat ground: q0 = q1 = q2 = (0, 0),
+    γ = m g h (impulse balances gravity), everything else at the central
+    path. Dynamics row must vanish."""
+    env = ci.flat_2d_lc
+    model = particle_2d
+    dims = dims_of(model, env)
+    h = 0.01
+    q = jnp.zeros(2, jnp.float64)
+    gamma = jnp.asarray([model.m * model.g * h])
+    b = jnp.zeros(2, jnp.float64)
+    psi = jnp.zeros(1, jnp.float64)
+    s1 = jnp.zeros(1, jnp.float64)
+    eta = jnp.zeros(2, jnp.float64)
+    s2 = jnp.asarray([model.mu_world]) * gamma
+    z = ci.pack_z(q, gamma, b, psi, s1, eta, s2)
+    theta = ci.pack_theta(q, q, jnp.zeros(2), jnp.zeros(2),
+                          model.mu_world, h)
+    r = ci.residual(model, env, z, theta, 0.0)
+    # dynamics rows: gravity impulse h*m*g balanced by contact Λ = [0, γ]
+    np.testing.assert_allclose(np.asarray(r[dims.idyn]), 0.0, atol=1e-12)
+    # impact: s1 - φ = 0
+    np.testing.assert_allclose(np.asarray(r[dims.iimp]), 0.0, atol=1e-12)
+    # friction cone: s2 - (μγ - E b) = 0
+    np.testing.assert_allclose(np.asarray(r[dims.ifri]), 0.0, atol=1e-12)
+    # bilinear rows at κ=0 with zero slacks
+    np.testing.assert_allclose(np.asarray(r[dims.ibil]), 0.0, atol=1e-12)
+
+
+def test_residual_freefall_dynamics():
+    """Free fall (no contact force): dynamics row equals the discrete
+    Euler-Lagrange residual of projectile motion (model.jl:18-36)."""
+    env = ci.flat_2d_lc
+    model = particle_2d
+    dims = dims_of(model, env)
+    h = 0.01
+    q0 = jnp.asarray([0.0, 1.0])
+    q1 = jnp.asarray([0.0, 1.0])
+    q2 = jnp.asarray([0.0, 1.0 - model.g * h * h])
+    z = ci.pack_z(q2, jnp.zeros(1), jnp.zeros(2), jnp.zeros(1),
+                  jnp.ones(1), jnp.zeros(2), jnp.ones(1))
+    theta = ci.pack_theta(q0, q1, jnp.zeros(2), jnp.zeros(2), 1.0, h)
+    r = ci.residual(model, env, z, theta, 0.0)
+    # d = m*(q1-q0)/h - m*(q2-q1)/h - h*m*g*e_z  (midpoint gravity splits)
+    expect = (model.m * (q1 - q0) / h - model.m * (q2 - q1) / h
+              - h * model.m * model.g * jnp.asarray([0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(r[dims.idyn]), np.asarray(expect),
+                               atol=1e-12)
+
+
+def test_mdp_row_velocity_stack():
+    """max-dissipation rows: η − vT − Eᵀψ with vT = [v_t, −v_t]."""
+    env = ci.flat_2d_lc
+    model = particle_2d
+    dims = dims_of(model, env)
+    h = 0.1
+    q1 = jnp.asarray([0.0, 0.0])
+    q2 = jnp.asarray([0.3, 0.0])  # sliding +x at 3 m/s
+    eta = jnp.asarray([1.0, 2.0])
+    psi = jnp.asarray([0.5])
+    z = ci.pack_z(q2, jnp.ones(1), jnp.ones(2), psi, jnp.ones(1), eta,
+                  jnp.ones(1))
+    theta = ci.pack_theta(q1, q1, jnp.zeros(2), jnp.zeros(2), 1.0, h)
+    r = ci.residual(model, env, z, theta, 0.0)
+    vt = 3.0
+    expect = eta - jnp.asarray([vt, -vt]) - psi[0]
+    np.testing.assert_allclose(np.asarray(r[dims.imdp]), np.asarray(expect),
+                               atol=1e-12)
+
+
+def test_jacobian_shapes_and_structure():
+    env = ci.flat_2d_lc
+    model = hopper_2d
+    dims = dims_of(model, env)
+    key = jax.random.PRNGKey(1)
+    z = jax.random.uniform(key, (dims.nz,), minval=0.2, maxval=1.0)
+    theta = ci.pack_theta(
+        jnp.asarray([0.1, 0.6, 0.0, 0.5]), jnp.asarray([0.1, 0.55, 0.0, 0.5]),
+        jnp.zeros(2), jnp.zeros(2), 0.8, 0.01)
+    rz = ci.residual_z_jacobian(model, env, z, theta)
+    rt = ci.residual_theta_jacobian(model, env, z, theta)
+    assert rz.shape == (dims.nz, dims.nz)
+    assert rt.shape == (dims.nz, dims.ntheta)
+    # rst rows wrt y2 must be the identity (slacks enter linearly)
+    np.testing.assert_allclose(np.asarray(rz[dims.irst, dims.iy2]),
+                               np.eye(dims.ny), atol=1e-10)
+    # bilinear rows wrt θ are zero (linearized_solver.jl:468 remark)
+    np.testing.assert_allclose(np.asarray(rt[dims.ibil, :]), 0.0, atol=1e-12)
+    # bilinear diagonal blocks
+    np.testing.assert_allclose(np.asarray(rz[dims.ibil, dims.iy1]),
+                               np.diag(np.asarray(z[dims.iy2])), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rz[dims.ibil, dims.iy2]),
+                               np.diag(np.asarray(z[dims.iy1])), atol=1e-12)
+
+
+def test_hopper_dynamics_gravity_only():
+    """Hopper in free fall with zero control: vertical row integrates
+    gravity on total mass; other rows conserve momentum."""
+    model = hopper_2d
+    h = 0.01
+    q0 = jnp.asarray([0.0, 1.0, 0.0, 0.5])
+    q1 = jnp.asarray([0.0, 1.0, 0.0, 0.5])
+    g = model.g
+    q2 = jnp.asarray([0.0, 1.0 - g * h * h, 0.0, 0.5])
+    lam = jnp.zeros(4)
+    d = ci.dynamics(model, h, q0, q1, jnp.zeros(2), jnp.zeros(2), lam, q2)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-10)

@@ -1,0 +1,105 @@
+"""Physics sanity: drop / slide / slope tests.
+
+Behavioral contract from /root/reference/test/simulator/particle.jl — a
+particle dropped on flat ground comes to rest at the surface, a sliding
+particle stops under friction, and a low-friction particle on a slope keeps
+sliding downhill.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.env import quadratic_bowl_3d_lc, slope1_2d_lc
+from contactimplicitmpc_tpu.models import hopper_2d, particle, particle_2d
+
+
+def _sim(model, env, T, h, q1, v1, **kw):
+    fn = jax.jit(
+        lambda q, v: ci.simulate(model, env, T, h, q, v, **kw))
+    return fn(jnp.asarray(q1, jnp.float64), jnp.asarray(v1, jnp.float64))
+
+
+def test_particle_2d_drop():
+    traj = _sim(particle_2d, ci.flat_2d_lc, 100, 0.01, [0.0, 1.0], [0.0, 0.0])
+    assert bool(ci.status(traj))
+    np.testing.assert_allclose(np.asarray(traj.q[-1]), 0.0, atol=1e-6)
+
+
+def test_particle_2d_slide():
+    traj = _sim(particle_2d, ci.flat_2d_lc, 100, 0.01, [0.0, 1.0], [1.0, 0.0])
+    assert bool(ci.status(traj))
+    h = 0.01
+    assert abs(float(traj.q[-1][1])) < 1e-6
+    v_end = (traj.q[-1] - traj.q[-2]) / h
+    np.testing.assert_allclose(np.asarray(v_end), 0.0, atol=1e-6)
+
+
+def test_particle_3d_drop_and_slide():
+    traj = _sim(particle, ci.flat_3d_lc, 100, 0.01,
+                [0.0, 0.0, 1.0], [0.0, 0.0, 0.0])
+    assert bool(ci.status(traj))
+    np.testing.assert_allclose(np.asarray(traj.q[-1]), 0.0, atol=1e-6)
+
+    traj = _sim(particle, ci.flat_3d_lc, 100, 0.01,
+                [0.0, 0.0, 1.0], [1.0, 2.0, 0.0])
+    assert bool(ci.status(traj))
+    assert abs(float(traj.q[-1][2])) < 1e-6
+    v_end = (traj.q[-1] - traj.q[-2]) / 0.01
+    np.testing.assert_allclose(np.asarray(v_end), 0.0, atol=1e-6)
+
+
+def test_particle_2d_slope_slides_down():
+    """particle.jl:246-267 — μ=0.1 on a 0.5-gradient slope keeps sliding."""
+    import dataclasses
+
+    from contactimplicitmpc_tpu.models.particle_2d import Particle2D
+
+    model = Particle2D(mu_world=0.1)
+    traj = _sim(model, slope1_2d_lc, 100, 0.01, [0.0, 1.0], [0.0, 0.0])
+    assert bool(ci.status(traj))
+    assert float(traj.q[-1][0]) < 0.0
+    assert float(traj.q[-1][1]) < 0.0
+
+
+def test_particle_3d_quadratic_bowl():
+    """particle.jl:129-165 — settles near the bowl bottom."""
+    from contactimplicitmpc_tpu.models.particle import Particle
+
+    model = Particle(mu_world=0.1)
+    traj = _sim(model, quadratic_bowl_3d_lc, 1000, 0.01,
+                [1.0, 0.5, 2.0], [0.1, 0.0, 0.0])
+    assert bool(ci.status(traj))
+    q_end = np.asarray(traj.q[-1])
+    assert abs(q_end[0]) < 0.05
+    assert abs(q_end[1]) < 0.05
+    assert abs(q_end[2]) < 0.001
+
+
+def test_hopper_2d_drop_no_penetration():
+    """Hopper dropped above ground: every step converges and the foot
+    never penetrates the terrain (an unactuated leg telescopes freely, so
+    there is no static rest pose to assert)."""
+    q1 = jnp.asarray([0.0, 0.6, 0.0, 0.5], jnp.float64)
+    traj = _sim(hopper_2d, ci.flat_2d_lc, 150, 0.01, q1, jnp.zeros(4))
+    assert bool(ci.status(traj))
+    phi = jax.vmap(lambda q: hopper_2d.phi(ci.flat_2d_lc, q))(traj.q)
+    assert float(jnp.min(phi)) > -1e-6
+    # contact impulses are nonnegative
+    assert float(jnp.min(traj.gamma)) > -1e-10
+
+
+def test_simulate_vmaps():
+    """Batched rollouts — the Monte-Carlo axis (hopper monte_carlo.jl)."""
+    def roll(x0):
+        q1 = jnp.asarray([x0, 1.0])
+        return ci.simulate(particle_2d, ci.flat_2d_lc, 50, 0.01, q1,
+                           jnp.zeros(2)).q[-1]
+
+    xs = jnp.linspace(-1.0, 1.0, 8)
+    out = jax.jit(jax.vmap(roll))(xs)
+    assert out.shape == (8, 2)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(xs),
+                               atol=1e-6)
