@@ -1,0 +1,15 @@
+from .implicit_dynamics import (CONFIGURATION, CONFIGURATION_FORCE,
+                                ImplicitDynamicsResult,
+                                default_mpc_ip_options, implicit_dynamics,
+                                nd_of)
+from .linearized import (LinearizedData, gather, linearize_trajectory,
+                         linearized_residual_fns)
+from .newton import (NewtonAssembler, NewtonIndices, NewtonOptions,
+                     NewtonResult, newton_solve)
+from .objective import (TrackingObjective, TrackingVelocityObjective,
+                        tracking_objective, tracking_velocity_objective)
+from .policy import CIMPCOptions, CIMPCState, ci_mpc_policy
+from .trajectory import (ContactTraj, contact_trajectory, from_gait,
+                         get_stride, initial_conditions, repeat_traj,
+                         rot_n_stride, tracking_error, update_theta,
+                         update_z)

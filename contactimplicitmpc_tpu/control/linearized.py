@@ -1,0 +1,88 @@
+"""Pre-linearized residual data for the MPC's smooth implicit-dynamics
+model.
+
+TPU-native redesign of ``LinearizedStep``
+(``/root/reference/src/controller/linearized_step.jl``) and the
+structure-exploiting ``RLin/RZLin/RθLin`` residual
+(``src/controller/linearized_solver.jl:15-587``).
+
+The reference stores per-knot static-array blocks and a Schur
+factorization refreshed every IP iteration. Here the linearization data is
+a stack of dense ``(H, nz, nz)`` / ``(H, nz, nθ)`` arrays — at these sizes
+(nz ≤ ~64) a batched dense LU on TPU beats block bookkeeping, and the
+bilinear rows are refreshed inside the generic interior-point kernel by
+overwriting their diagonal blocks (see ``ip_solve``).
+
+Residual semantics (rlin!, linearized_solver.jl:364-373)::
+
+    r_dyn,rst(z, θ) = r0 + rz0 (z − z0) + rθ0 (θ − θ0)   (affine rows)
+    r_bil(z, κ)     = y1 ∘ y2 − κ                        (exact rows)
+    r_rst[imp]     += alt                                 (altitude shift)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dims import Dims
+from ..models.base import Model, dims_of
+from ..sim.residual import (residual, residual_theta_jacobian,
+                            residual_z_jacobian)
+from .trajectory import ContactTraj
+
+
+class LinearizedData(NamedTuple):
+    """Stacked LinearizedStep (linearized_step.jl:1-29): linearization
+    points and Jacobians for every knot of a reference trajectory."""
+
+    z0: jnp.ndarray        # (H, nz)
+    theta0: jnp.ndarray    # (H, nθ)
+    r0: jnp.ndarray        # (H, nz)  residual at (z0, θ0, κ)
+    rz0: jnp.ndarray       # (H, nz, nz)
+    rtheta0: jnp.ndarray   # (H, nz, nθ)
+
+
+def linearize_trajectory(model: Model, env, traj: ContactTraj,
+                         kappa) -> LinearizedData:
+    """Evaluate r, rz, rθ at every knot of ``traj``
+    (ImplicitTrajectory construction, implicit_dynamics.jl:56-68)."""
+    kappa = jnp.asarray(kappa, traj.z.dtype)
+
+    def one(z0, th0):
+        r0 = residual(model, env, z0, th0, kappa)
+        rz0 = residual_z_jacobian(model, env, z0, th0)
+        rt0 = residual_theta_jacobian(model, env, z0, th0)
+        return r0, rz0, rt0
+
+    r0, rz0, rt0 = jax.vmap(one)(traj.z, traj.theta)
+    return LinearizedData(z0=traj.z, theta0=traj.theta, r0=r0, rz0=rz0,
+                          rtheta0=rt0)
+
+
+def gather(lin: LinearizedData, idx: jnp.ndarray) -> LinearizedData:
+    """Select the knots covered by the receding-horizon window."""
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return LinearizedData(*(take(a) for a in lin))
+
+
+def linearized_residual_fns(dims: Dims, z0, theta0, r0, rz0, rtheta0, alt):
+    """Residual/Jacobian callbacks for one knot's linearized model, in the
+    form expected by ``ip_solve``."""
+    ibil, iy1, iy2, iimp = dims.ibil, dims.iy1, dims.iy2, dims.iimp
+
+    def r_fn(z, th, kap):
+        r = r0 + rz0 @ (z - z0) + rtheta0 @ (th - theta0)
+        r = r.at[ibil].set(z[iy1] * z[iy2] - kap)
+        return r.at[iimp].add(alt)
+
+    def rz_fn(z, th):
+        # constant affine rows; ip_solve refreshes the bilinear diagonals
+        return rz0
+
+    def rtheta_fn(z, th):
+        return rtheta0
+
+    return r_fn, rz_fn, rtheta_fn

@@ -1,0 +1,118 @@
+"""Linearized residual + implicit dynamics tests.
+
+Mirrors /root/reference/test/controller/linearized_solver.jl (block
+residual vs dense evaluation) and test/controller/implicit_dynamics.jl
+(dynamics violation small along a reference gait).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (CONFIGURATION,
+                                            default_mpc_ip_options, from_gait,
+                                            gather, implicit_dynamics,
+                                            linearize_trajectory,
+                                            linearized_residual_fns)
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def _hopper_ref():
+    gait = load_gait("hopper_2D", "gait_in_place")
+    return from_gait(hopper_2d, ci.flat_2d_lc, gait, kappa=1.0e-4)
+
+
+def test_linearized_residual_matches_at_linearization_point():
+    env = ci.flat_2d_lc
+    dims = dims_of(hopper_2d, env)
+    ref = _hopper_ref()
+    kappa = 1.0e-4
+    lin = linearize_trajectory(hopper_2d, env, ref, kappa)
+
+    t = 3
+    r_fn, rz_fn, _ = linearized_residual_fns(
+        dims, lin.z0[t], lin.theta0[t], lin.r0[t], lin.rz0[t],
+        lin.rtheta0[t], jnp.zeros(dims.nc))
+    r = r_fn(lin.z0[t], lin.theta0[t], kappa)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(lin.r0[t]),
+                               atol=1e-10)
+
+
+def test_linearized_residual_affine_expansion():
+    """rlin! (linearized_solver.jl:364-373) against a direct dense
+    evaluation at a perturbed point."""
+    env = ci.flat_2d_lc
+    dims = dims_of(hopper_2d, env)
+    ref = _hopper_ref()
+    kappa = 1.0e-4
+    lin = linearize_trajectory(hopper_2d, env, ref, kappa)
+
+    t = 7
+    key = jax.random.PRNGKey(0)
+    dz = 0.01 * jax.random.normal(key, (dims.nz,))
+    dth = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (dims.ntheta,))
+    z = lin.z0[t] + dz
+    th = lin.theta0[t] + dth
+
+    r_fn, _, _ = linearized_residual_fns(
+        dims, lin.z0[t], lin.theta0[t], lin.r0[t], lin.rz0[t],
+        lin.rtheta0[t], jnp.zeros(dims.nc))
+    r = np.asarray(r_fn(z, th, kappa))
+
+    expect = np.asarray(lin.r0[t] + lin.rz0[t] @ dz + lin.rtheta0[t] @ dth)
+    np.testing.assert_allclose(r[dims.idyn], expect[dims.idyn], atol=1e-10)
+    np.testing.assert_allclose(r[dims.irst], expect[dims.irst], atol=1e-10)
+    bil = np.asarray(z[dims.iy1] * z[dims.iy2] - kappa)
+    np.testing.assert_allclose(r[dims.ibil], bil, atol=1e-12)
+
+
+def test_altitude_shifts_impact_rows():
+    env = ci.flat_2d_lc
+    dims = dims_of(hopper_2d, env)
+    ref = _hopper_ref()
+    lin = linearize_trajectory(hopper_2d, env, ref, 1.0e-4)
+    alt = 0.3 * jnp.ones(dims.nc)
+    r_fn, _, _ = linearized_residual_fns(
+        dims, lin.z0[0], lin.theta0[0], lin.r0[0], lin.rz0[0],
+        lin.rtheta0[0], alt)
+    r0_fn, _, _ = linearized_residual_fns(
+        dims, lin.z0[0], lin.theta0[0], lin.r0[0], lin.rz0[0],
+        lin.rtheta0[0], jnp.zeros(dims.nc))
+    diff = np.asarray(r_fn(lin.z0[0], lin.theta0[0], 1e-4)
+                      - r0_fn(lin.z0[0], lin.theta0[0], 1e-4))
+    expect = np.zeros(dims.nz)
+    expect[dims.iimp] = 0.3
+    np.testing.assert_allclose(diff, expect, atol=1e-12)
+
+
+def test_implicit_dynamics_violation_small_along_gait():
+    """test/controller/implicit_dynamics.jl:1-30 (hopper variant):
+    re-solving each gait knot's linearized model at the gait's own data
+    reproduces the gait configurations to 1e-2."""
+    env = ci.flat_2d_lc
+    dims = dims_of(hopper_2d, env)
+    ref = _hopper_ref()
+    kappa = 1.0e-4
+    lin = linearize_trajectory(hopper_2d, env, ref, kappa)
+    opts = default_mpc_ip_options(2.0 * kappa)
+
+    res = implicit_dynamics(dims, CONFIGURATION, lin, ref,
+                            jnp.zeros(dims.nc), opts)
+    assert bool(jnp.all(res.converged))
+    dq2 = np.asarray(jnp.max(jnp.abs(res.d), axis=1))
+    assert dq2[:-1].max() < 1.0e-2
+
+    # sensitivity shapes (implicit_dynamics.jl:83-86)
+    assert res.dq0.shape == (ref.horizon, dims.nq, dims.nq)
+    assert res.du1.shape == (ref.horizon, dims.nq, dims.nu)
+
+
+def test_gather_window():
+    ref = _hopper_ref()
+    lin = linearize_trajectory(hopper_2d, ci.flat_2d_lc, ref, 1e-4)
+    w = jnp.asarray([5, 6, 7], jnp.int32)
+    sub = gather(lin, w)
+    np.testing.assert_allclose(np.asarray(sub.z0), np.asarray(lin.z0[5:8]))

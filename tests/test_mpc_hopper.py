@@ -1,0 +1,81 @@
+"""Closed-loop contact-implicit MPC on the 2D hopper, tracking the
+in-place gait.
+
+Configuration from /root/reference/examples/hopper/monte_carlo.jl:19-75
+(H_mpc=10, N_sample=5, κ=1e-4, velocity-tracking objective,
+:configuration mode).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (CONFIGURATION, NewtonOptions,
+                                            ci_mpc_policy, from_gait,
+                                            initial_conditions,
+                                            tracking_error,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1.0e-4)
+    h = float(ref.h)
+    n_sample = 5
+    h_mpc = 10
+    kappa_mpc = 1.0e-4
+
+    # weights from examples/hopper/monte_carlo.jl:33-38
+    qw = np.tile(1e-2 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    qw[-2:] = 1e-1 * np.array([0.1, 3, 1, 3])
+    vw = np.tile(1e-3 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    vw[:2] = 1e1 * np.array([0.1, 3, 1, 3])
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=qw, v=vw,
+        u=np.tile(np.array([3e-3, 1e0]), (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa_mpc, max_iter=30))
+
+    q1, v1 = initial_conditions(ref)
+    h_sim = 500
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, env, h_sim, h / n_sample, q, v, policy=policy))(q1, v1)
+    return ref, traj, n_sample
+
+
+def test_mpc_hopper_simulation_converges(rollout):
+    _, traj, _ = rollout
+    assert bool(ci.status(traj))
+
+
+def test_mpc_hopper_tracking(rollout):
+    """Hopper stays near the in-place gait: body height tracks the
+    reference band and lateral drift stays bounded."""
+    ref, traj, n_sample = rollout
+    q_err, u_err, g_err, b_err = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample)
+    # thresholds calibrated from the reference's quadruped regression
+    # style (test/controller/mpc_quadruped.jl:61-68): generous first-round
+    # band; tightened once cross-validated.
+    assert q_err < 0.05, f"q tracking error {q_err}"
+    assert u_err < 0.5, f"u tracking error {u_err}"
+    # no blow-up: final configuration near the gait
+    qf = np.asarray(traj.q[-1])
+    assert abs(qf[0]) < 0.5          # lateral drift
+    assert 0.3 < qf[1] < 0.8         # body height stays in hopping band
