@@ -3,9 +3,12 @@ from .base import (Model, contact_forces, dims_of, dynamics, e_mapping,
 from .hopper_2d import Hopper2D, hopper_2d
 from .particle import Particle, particle
 from .particle_2d import Particle2D, particle_2d
+from .quadruped import Quadruped, quadruped, quadruped_payload
 
 MODELS = {
     "particle": particle,
     "particle_2D": particle_2d,
     "hopper_2D": hopper_2d,
+    "quadruped": quadruped,
+    "quadruped_payload": quadruped_payload,
 }

@@ -50,7 +50,11 @@ class IPOptions:
     max_iter: int = 100
     undercut: float = float("inf")
     gamma_reg: float = 0.0      # cone regularization: y_reg = max(y, γ_reg)
-    tau_min: float = 0.95       # fraction-to-boundary floor
+    tau_min: float = 0.9        # fraction-to-boundary floor
+    tau_max: float = 0.99       # fraction-to-boundary cap (τ → 1 crushes
+    #                             iterates onto the cone boundary and stalls
+    #                             recovery at contact transitions)
+    max_ls: int = 3             # residual-merit backtracking halvings
     diff_sol: bool = False
 
 
@@ -148,14 +152,48 @@ def ip_solve(
 
         # corrector with Mehrotra second-order term
         # (general_correction_term!, linearized_solver.jl:411-418)
-        r_cor = residual_fn(z, theta, kappa_t)
-        r_cor = r_cor.at[ibil].add(d_aff[iy1] * d_aff[iy2])
-        d = jax.scipy.linalg.lu_solve((lu, piv), r_cor)
+        r_center = residual_fn(z, theta, kappa_t)
+        r_cor = r_center.at[ibil].add(d_aff[iy1] * d_aff[iy2])
+        d_cor = jax.scipy.linalg.lu_solve((lu, piv), r_cor)
+        # pure centering direction — always a descent direction for the
+        # merit ‖r(·, κ_t)‖² (exact-Jacobian Gauss-Newton), used as the
+        # fallback when the corrected step fails the line search
+        d_cen = jax.scipy.linalg.lu_solve((lu, piv), r_center)
 
-        tau = jnp.maximum(jnp.asarray(opts.tau_min, dtype),
-                          1.0 - jnp.maximum(rvio, kvio) ** 2)
-        alpha = jnp.minimum(_step_length(y1, d[iy1], tau),
-                            _step_length(y2, d[iy2], tau))
+        tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
+                       jnp.asarray(opts.tau_min, dtype),
+                       jnp.asarray(opts.tau_max, dtype))
+
+        # Backtracking line search on the residual merit at the central-path
+        # target (RoboDojo's max_ls loop; sim path runs 25 halvings,
+        # simulator.jl:24-32). All candidates for both directions are
+        # evaluated as one batch; the largest Armijo-passing corrected α
+        # wins, then the largest passing centering α, then the smallest
+        # centering α (accept-after-exhaustion, as the reference).
+        merit0 = jnp.sum(jnp.square(r_center))
+        halvings = 0.5 ** jnp.arange(opts.max_ls + 1, dtype=dtype)
+
+        def candidates(d):
+            a0 = jnp.minimum(_step_length(y1, d[iy1], tau),
+                             _step_length(y2, d[iy2], tau))
+            alphas = a0 * halvings
+
+            def merit_of(a):
+                rr = residual_fn(z - a * d, theta, kappa_t)
+                return jnp.sum(jnp.square(rr))
+
+            merits = jax.vmap(merit_of)(alphas)
+            ok = merits < (1.0 - 1.0e-3 * alphas) * merit0
+            return alphas, ok
+
+        a_cor, ok_cor = candidates(d_cor)
+        a_cen, ok_cen = candidates(d_cen)
+        use_cor = jnp.any(ok_cor)
+        pick_cor = jnp.argmax(ok_cor)
+        pick_cen = jnp.where(jnp.any(ok_cen), jnp.argmax(ok_cen),
+                             opts.max_ls)
+        alpha = jnp.where(use_cor, a_cor[pick_cor], a_cen[pick_cen])
+        d = jnp.where(use_cor, d_cor, d_cen)
 
         z_new = z - alpha * d
         r_new = residual_fn(z_new, theta, jnp.zeros((), dtype))

@@ -50,9 +50,13 @@ class SimTrajectory(NamedTuple):
 
 
 def default_sim_options() -> IPOptions:
-    """simulator.jl:24-32 defaults (undercut=Inf, γ_reg=0.1, tol 1e-8)."""
+    """simulator.jl:24-32 defaults (undercut=Inf, tol 1e-8, 25 line-search
+    halvings). The reference's simulation path evaluates the exact codegen'd
+    Jacobian — the γ_reg cone clamp exists only in the linearized MPC path
+    (rzlin!, linearized_solver.jl:390-394) — so gamma_reg stays 0 here; a
+    τ cap keeps iterates off the cone boundary at contact transitions."""
     return IPOptions(r_tol=1.0e-8, kappa_tol=1.0e-8, max_iter=100,
-                     undercut=float("inf"), gamma_reg=0.1)
+                     undercut=float("inf"), gamma_reg=0.0, max_ls=25)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Closed-loop MPC regression: quadruped trotting on flat ground.
+
+The behavioral contract of the reference
+(/root/reference/test/controller/mpc_quadruped.jl:1-69): tracking errors
+under 1.5× the nominal values over 1000 sim steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (CONFIGURATION, NewtonOptions,
+                                            ci_mpc_policy, from_gait,
+                                            initial_conditions,
+                                            tracking_error,
+                                            tracking_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.models import quadruped
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    model, env = quadruped, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True)
+
+    n_sample = 5
+    h_mpc = 10
+    kappa_mpc = 2.0e-4
+    h = float(ref.h)
+
+    # weights from mpc_quadruped.jl:23-27
+    qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * (dims.nq - 3))
+    obj = tracking_objective(
+        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+        u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa_mpc, max_iter=30))
+
+    q1, v1 = initial_conditions(ref)
+    h_sim = 1000
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, env, h_sim, h / n_sample, q, v, policy=policy))(q1, v1)
+    return ref, traj, n_sample
+
+
+def test_mpc_quadruped_status(rollout):
+    _, traj, _ = rollout
+    assert bool(ci.status(traj))
+
+
+def test_mpc_quadruped_tracking(rollout):
+    """mpc_quadruped.jl:61-68 thresholds (fail at 1.5× nominal)."""
+    ref, traj, n_sample = rollout
+    qerr, uerr, gerr, berr = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample, idx_shift=(0,))
+    print(f"tracking: q={qerr:.4f} u={uerr:.4f} γ={gerr:.4f} b={berr:.4f}")
+    assert qerr < 0.0201 * 1.5, qerr
+    assert uerr < 0.0437 * 1.5, uerr
+    assert gerr < 0.374 * 1.5, gerr
+    assert berr < 0.0789 * 1.5, berr

@@ -1,0 +1,75 @@
+"""Quadruped model cross-validation against the reference's own gait data.
+
+The gait assets were produced by the reference's trajectory optimization,
+so they satisfy the reference's NCP residual. Evaluating OUR residual at
+those knots is a golden cross-check of the whole model + residual stack
+(/root/reference/test/simulator/quadruped.jl:16-19 does exactly this with
+norm(r) < 1e-4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait, initial_conditions
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.models.quadruped import Quadruped
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Quadruped(mu_world=0.5)
+    env = ci.flat_2d_lc
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True)
+    return model, env, ref
+
+
+def test_gait_satisfies_residual(setup):
+    """Reference gait knots satisfy our NCP residual to 1e-4."""
+    model, env, ref = setup
+
+    def rnorm(z, th):
+        return jnp.linalg.norm(ci.residual(model, env, z, th, 0.0))
+
+    norms = jax.vmap(rnorm)(ref.z, ref.theta)
+    assert float(jnp.max(norms)) < 1.0e-4, float(jnp.max(norms))
+
+
+def test_open_loop_replay(setup):
+    """Open-loop playback of the gait controls reproduces the gait
+    (test/simulator/quadruped.jl:22-34, tol 0.025 on x/z/torso)."""
+    model, env, ref = setup
+    q1, v1 = initial_conditions(ref)
+    q1 = ref.q[1]
+    policy = ci.open_loop_policy(ref.u, n_sample=1)
+    traj = jax.jit(lambda: ci.simulate(
+        model, env, ref.horizon, float(ref.h), q1, v1, policy=policy))()
+    assert bool(ci.status(traj))
+    err = np.abs(np.asarray(traj.q[-1][:3] - ref.q[-1][:3]))
+    assert err.max() < 0.025, err
+
+
+def test_mass_matrix_properties(setup):
+    model, env, ref = setup
+    q = ref.q[5]
+    m = np.asarray(model.mass_matrix(q))
+    assert np.allclose(m, m.T, atol=1e-12)
+    w = np.linalg.eigvalsh(m)
+    assert w.min() > 0
+    # total mass appears in the (x, x) block
+    total = model.m_torso + 4 * (model.m_thigh + model.m_calf)
+    assert np.isclose(m[0, 0], total, atol=1e-10)
+
+
+def test_mass_matrix_matches_lagrangian_hessian(setup):
+    """Analytic M (model.jl:421-463) vs autodiff ∂²L/∂v²."""
+    model, env, ref = setup
+    q = ref.q[10]
+    m_analytic = model.mass_matrix(q)
+    m_auto = jax.hessian(lambda v: model.lagrangian(q, v))(jnp.zeros(11))
+    np.testing.assert_allclose(np.asarray(m_analytic), np.asarray(m_auto),
+                               atol=1e-10)
