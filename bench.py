@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: full contact-implicit MPC solves per second,
+flat-ground quadruped at the paper's horizon (H_mpc=10, N_sample=5).
+
+Matches the reference's timing recipe (examples/quadruped/flat.jl:77-79:
+policy speed ratio after a warm re-run) recast for TPU: a batch of
+closed-loop rollouts runs as one jitted program; every control step inside
+is one complete CIMPC solve (warm-started horizon Newton over re-solved
+implicit dynamics). Baseline: the reference paper's 100 Hz-class laptop
+rate (= 100 solves/s, BASELINE.md).
+
+Prints ONE JSON line on stdout. Environment knobs:
+CIMPC_BENCH_BATCH (default 128), CIMPC_BENCH_STEPS (default 250),
+CIMPC_BENCH_F64 (default 0: float32 on TPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    platform = os.environ.get("CIMPC_BENCH_PLATFORM")
+    if platform:
+        # env vars are too late in this image (sitecustomize pre-imports
+        # jax); the config route still works before first backend use
+        jax.config.update("jax_platforms", platform)
+    use_f64 = os.environ.get("CIMPC_BENCH_F64", "0") == "1"
+    if use_f64:
+        jax.config.update("jax_enable_x64", True)
+    batch = int(os.environ.get("CIMPC_BENCH_BATCH", "128"))
+    h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
+    dtype = jnp.float64 if use_f64 else jnp.float32
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, ci_mpc_policy, from_gait,
+        initial_conditions, tracking_error, tracking_objective)
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    log(f"devices: {jax.devices()}  dtype: {dtype.__name__}")
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc = 5, 10
+    kappa_mpc = 2.0e-4
+    h = float(ref.h)
+
+    qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8)
+    obj = tracking_objective(
+        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+        u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    # float32-feasible tolerances (reference Float64 values in BASELINE.md;
+    # f32 closed-loop tracking error matches f64 at these settings)
+    sim_opts = IPOptions(r_tol=(1e-8 if use_f64 else 1e-3),
+                         kappa_tol=(1e-8 if use_f64 else 1e-5),
+                         max_iter=(100 if use_f64 else 40),
+                         undercut=float("inf"), max_ls=25)
+    mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
+                       kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
+                       gamma_reg=0.1, diff_sol=True, max_ls=3)
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5), ip_opts=mpc_ip)
+
+    q1, v1 = initial_conditions(ref)
+    key = jax.random.PRNGKey(0)
+    offsets = 0.01 * jax.random.normal(key, (batch, dims.nq), dtype)
+    q1s = q1[None, :] + offsets.at[:, 2:].multiply(0.1)
+    v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
+
+    def rollout(q, v):
+        return ci.simulate(model, env, h_sim_steps, h / n_sample, q, v,
+                           policy=policy, opts=sim_opts)
+
+    fn = jax.jit(jax.vmap(rollout))
+    t0 = time.time()
+    traj = jax.block_until_ready(fn(q1s, v1s))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # warm timing
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        traj = jax.block_until_ready(fn(q1s, v1s))
+    dt = (time.time() - t0) / reps
+
+    n_solves = batch * (h_sim_steps // n_sample)
+    solves_per_s = n_solves / dt
+
+    ok = float(jnp.mean(jnp.all(traj.converged, axis=1)))
+    qe, ue, _, _ = tracking_error(
+        ref, traj.q[0], traj.u[0], traj.gamma[0], traj.b[0], n_sample,
+        idx_shift=(0,))
+    log(f"rollout health: success_rate={ok:.3f} q_err={qe:.4f} "
+        f"u_err={ue:.4f} wall={dt:.2f}s batch={batch} steps={h_sim_steps}")
+
+    print(json.dumps({
+        "metric": "cimpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 100.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

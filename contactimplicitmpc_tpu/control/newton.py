@@ -40,6 +40,7 @@ import numpy as np
 
 from ..dims import Dims
 from ..sim.interior_point import IPOptions
+from ..utils.vma import unify_varying
 from .implicit_dynamics import (CONFIGURATION, CONFIGURATION_FORCE,
                                 ImplicitDynamicsResult, implicit_dynamics,
                                 nd_of)
@@ -349,7 +350,8 @@ def newton_solve(
         return jnp.logical_and(it < opts.max_iter,
                                jnp.logical_not(converged))
 
-    carry = (traj, nu, beta0, imp, r, r_norm, jnp.zeros((), jnp.int32))
+    carry = unify_varying(
+        (traj, nu, beta0, imp, r, r_norm, jnp.zeros((), jnp.int32)))
     traj, nu, beta, _, _, r_norm, it = jax.lax.while_loop(cond, body, carry)
     return NewtonResult(traj=traj, nu=nu, beta=beta, r_norm=r_norm,
                         iterations=it)

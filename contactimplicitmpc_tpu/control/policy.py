@@ -30,6 +30,7 @@ from ..dims import Dims
 from ..models.base import Model, dims_of
 from ..sim.interior_point import IPOptions
 from ..sim.simulator import PolicyObs
+from ..utils.vma import unify_varying
 from .implicit_dynamics import (CONFIGURATION_FORCE, default_mpc_ip_options,
                                 nd_of)
 from .linearized import gather, linearize_trajectory
@@ -159,8 +160,8 @@ def ci_mpc_policy(
             q_buf=jnp.roll(state.q_buf, -1, axis=0).at[-1].set(obs.q1))
 
         state = jax.lax.cond(state.cnt == n_sample,
-                             lambda s: control_update(s, obs),
-                             lambda s: s, state)
+                             lambda s: unify_varying(control_update(s, obs)),
+                             lambda s: unify_varying(s), state)
         state = state._replace(cnt=state.cnt + 1)
         return state.u / n_sample, state
 

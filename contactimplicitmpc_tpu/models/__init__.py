@@ -1,14 +1,22 @@
 from .base import (Model, contact_forces, dims_of, dynamics, e_mapping,
                    lagrangian_derivatives, velocity_stack)
+from .flamingo import Flamingo, flamingo
 from .hopper_2d import Hopper2D, hopper_2d
+from .hopper_3d import Hopper3D, hopper_3d
 from .particle import Particle, particle
 from .particle_2d import Particle2D, particle_2d
+from .pushbot import PushBot, pushbot
 from .quadruped import Quadruped, quadruped, quadruped_payload
+from .walledcartpole import WalledCartpole, walledcartpole
 
 MODELS = {
     "particle": particle,
     "particle_2D": particle_2d,
     "hopper_2D": hopper_2d,
+    "hopper_3D": hopper_3d,
     "quadruped": quadruped,
     "quadruped_payload": quadruped_payload,
+    "flamingo": flamingo,
+    "pushbot": pushbot,
+    "walledcartpole": walledcartpole,
 }

@@ -1,0 +1,3 @@
+from .mesh import make_mesh
+from .rollouts import (RolloutStats, monte_carlo_rollouts, sharded_rollouts,
+                       sharded_rollout_stats)

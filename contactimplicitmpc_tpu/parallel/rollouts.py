@@ -1,0 +1,86 @@
+"""Sharded Monte-Carlo rollouts: the pod-scale replacement for the
+reference's serial robustness studies.
+
+``examples/hopper/monte_carlo.jl:78-91`` runs 100 seeds × 1000 steps in a
+serial Julia loop. Here a batch of closed-loop rollouts is one ``vmap`` per
+chip and a ``shard_map`` across the mesh; sweep statistics reduce with
+``psum`` over ICI (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sim.simulator import SimTrajectory, simulate
+
+
+class RolloutStats(NamedTuple):
+    """Global sweep statistics (SimulatorStatistics equivalent)."""
+
+    n_rollouts: jnp.ndarray
+    success_rate: jnp.ndarray   # fraction of rollouts with all solves ok
+    mean_iterations: jnp.ndarray
+    mean_final_q: jnp.ndarray   # (nq,)
+
+
+def monte_carlo_rollouts(model, env, horizon: int, h: float,
+                         q1_batch, v1_batch, policy=None,
+                         disturbances=None, opts=None) -> SimTrajectory:
+    """Single-device batched rollouts (one vmap)."""
+    roll = functools.partial(simulate, model, env, horizon, h,
+                             policy=policy, disturbances=disturbances,
+                             opts=opts)
+    return jax.vmap(roll)(q1_batch, v1_batch)
+
+
+def sharded_rollouts(mesh: Mesh, model, env, horizon: int, h: float,
+                     q1_batch, v1_batch, policy=None, disturbances=None,
+                     opts=None) -> SimTrajectory:
+    """Rollouts sharded over every mesh axis (pure data parallel: the
+    batch is laid out over the full torus; XLA keeps all compute local)."""
+    roll = functools.partial(simulate, model, env, horizon, h,
+                             policy=policy, disturbances=disturbances,
+                             opts=opts)
+    batch_sharding = NamedSharding(mesh, P(mesh.axis_names))
+    fn = jax.jit(jax.vmap(roll),
+                 in_shardings=(batch_sharding, batch_sharding),
+                 out_shardings=batch_sharding)
+    # flatten the mesh axes onto the leading batch axis
+    return fn(q1_batch, v1_batch)
+
+
+def sharded_rollout_stats(mesh: Mesh, model, env, horizon: int, h: float,
+                          q1_batch, v1_batch, policy=None,
+                          disturbances=None, opts=None) -> RolloutStats:
+    """shard_map version with explicit ICI collectives: each shard rolls
+    its slice of the batch locally, then sweep statistics ``psum`` across
+    the whole mesh — nothing but scalars crosses chips."""
+    axes = mesh.axis_names
+    roll = functools.partial(simulate, model, env, horizon, h,
+                             policy=policy, disturbances=disturbances,
+                             opts=opts)
+
+    def local_shard(q1s, v1s):
+        traj = jax.vmap(roll)(q1s, v1s)
+        ok = jnp.all(traj.converged, axis=1)
+        n_local = jnp.asarray(q1s.shape[0], jnp.float32)
+        n = jax.lax.psum(n_local, axes)
+        succ = jax.lax.psum(jnp.sum(ok.astype(jnp.float32)), axes) / n
+        iters = jax.lax.psum(
+            jnp.sum(jnp.mean(traj.iterations.astype(jnp.float32), axis=1)),
+            axes) / n
+        qf = jax.lax.psum(jnp.sum(traj.q[:, -1, :], axis=0), axes) / n
+        return RolloutStats(n_rollouts=n, success_rate=succ,
+                            mean_iterations=iters, mean_final_q=qf)
+
+    spec = P(axes)
+    fn = jax.jit(jax.shard_map(
+        local_shard, mesh=mesh, in_specs=(spec, spec),
+        out_specs=RolloutStats(n_rollouts=P(), success_rate=P(),
+                               mean_iterations=P(), mean_final_q=P())))
+    return fn(q1_batch, v1_batch)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dims import Dims
+from ..utils.vma import unify_varying
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,7 +209,8 @@ def ip_solve(
     r_init = residual_fn(z0, theta, jnp.zeros((), dtype))
     rvio0, kvio0 = _violations(dims, r_init)
     done0 = (rvio0 <= opts.r_tol) & (kvio0 <= opts.kappa_tol)
-    state = (z0, r_init, rvio0, kvio0, jnp.zeros((), jnp.int32), done0)
+    state = unify_varying(
+        (z0, r_init, rvio0, kvio0, jnp.zeros((), jnp.int32), done0))
     z, _, rvio, kvio, it, done = jax.lax.while_loop(cond, body, state)
 
     dz = None

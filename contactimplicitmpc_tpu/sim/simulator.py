@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import Model, dims_of
+from ..utils.vma import unify_varying
 from .interior_point import IPOptions, ip_solve, z_initialize
 from .residual import pack_theta, residual
 
@@ -211,6 +212,9 @@ def simulate(
 
     carry0 = (q0, q1, policy_init(), dist_init(),
               jnp.zeros((dims.nc,), dtype))
+    # shard_map compatibility: promote constant carry components to the
+    # union of varying axes present (no-op outside shard_map)
+    carry0 = unify_varying(carry0)
     _, (qs, us, ws, gammas, bs, zs, conv, iters) = jax.lax.scan(
         step, carry0, jnp.arange(horizon))
 

@@ -1,0 +1,91 @@
+"""Cross-validation of flamingo / hopper-3D / pushbot / walled-cartpole
+against the reference's gait data and physics sanity checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait, initial_conditions
+from contactimplicitmpc_tpu.models import (hopper_3d, pushbot,
+                                           walledcartpole)
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.models.flamingo import Flamingo
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_flamingo_gait_satisfies_residual():
+    """Reference flamingo gait knots satisfy our NCP residual — validates
+    the 9-DoF biped kinematics/dynamics stack end to end."""
+    model = Flamingo(mu_world=0.1)  # gait_forward_36_4 was optimized at 0.1
+    env = ci.flat_2d_lc
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"),
+                    update_friction=True)
+
+    def rnorm(z, th):
+        return jnp.linalg.norm(ci.residual(model, env, z, th, 0.0))
+
+    norms = jax.vmap(rnorm)(ref.z, ref.theta)
+    assert float(jnp.max(norms)) < 1.0e-3, float(jnp.max(norms))
+
+
+def test_flamingo_open_loop_replay():
+    model = Flamingo(mu_world=0.1)
+    env = ci.flat_2d_lc
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"),
+                    update_friction=True)
+    q1, v1 = initial_conditions(ref)
+    policy = ci.open_loop_policy(ref.u, n_sample=1)
+    horizon = 20
+    traj = jax.jit(lambda: ci.simulate(
+        model, env, horizon, float(ref.h), ref.q[1], v1, policy=policy))()
+    assert bool(ci.status(traj))
+    err = np.abs(np.asarray(traj.q[-1] - ref.q[horizon + 1]))
+    assert err.max() < 0.05, err
+
+
+def test_hopper_3d_gait_satisfies_residual():
+    model, env = hopper_3d, ci.flat_3d_lc
+    ref = from_gait(model, env, load_gait("hopper_3D", "gait_in_place"))
+
+    def rnorm(z, th):
+        return jnp.linalg.norm(ci.residual(model, env, z, th, 0.0))
+
+    norms = jax.vmap(rnorm)(ref.z, ref.theta)
+    assert float(jnp.max(norms)) < 1.0e-3, float(jnp.max(norms))
+
+
+def test_hopper_3d_drop():
+    q1 = jnp.asarray([0.0, 0.0, 0.6, 0.0, 0.0, 0.0, 0.5], jnp.float64)
+    traj = jax.jit(lambda: ci.simulate(
+        hopper_3d, ci.flat_3d_lc, 100, 0.01, q1, jnp.zeros(7)))()
+    assert bool(ci.status(traj))
+    phi = jax.vmap(lambda q: hopper_3d.phi(ci.flat_3d_lc, q))(traj.q)
+    assert float(jnp.min(phi)) > -1e-6
+
+
+def test_pushbot_leans_on_wall():
+    """Tilted pole falls into the wall and rests there (contacts at
+    x = ±0.5, pushbot/model.jl:88-92)."""
+    q1 = jnp.asarray([0.3, 0.0], jnp.float64)  # tilt toward -x wall
+    traj = jax.jit(lambda: ci.simulate(
+        pushbot, ci.flat_2d_lc, 300, 0.01, q1, jnp.zeros(2)))()
+    assert bool(ci.status(traj))
+    q_end = traj.q[-1]
+    phi_end = pushbot.phi(ci.flat_2d_lc, q_end)
+    # pressed against one wall (gap ~0), never penetrating; the slider
+    # keeps creeping down the wall (μ = 0.5 cannot hold it statically)
+    assert float(jnp.min(phi_end)) > -1e-6
+    assert float(jnp.min(phi_end)) < 1e-3
+    phi_all = jax.vmap(lambda q: pushbot.phi(ci.flat_2d_lc, q))(traj.q)
+    assert float(jnp.min(phi_all)) > -1e-6
+
+
+def test_walledcartpole_pole_falls_to_wall():
+    q1 = jnp.asarray([0.2, 0.0, 0.0, 0.0], jnp.float64)
+    traj = jax.jit(lambda: ci.simulate(
+        walledcartpole, ci.flat_2d_lc, 200, 0.01, q1, jnp.zeros(4)))()
+    assert bool(ci.status(traj))
+    phi = jax.vmap(lambda q: walledcartpole.phi(ci.flat_2d_lc, q))(traj.q)
+    assert float(jnp.min(phi)) > -1e-6
