@@ -1,0 +1,77 @@
+"""Closed-loop MPC regression: flamingo biped walking on flat ground.
+
+Reference contract: /root/reference/test/controller/mpc_flamingo.jl
+(H_mpc=15, N_sample=5, κ=2e-4, velocity-tracking objective,
+:configurationforce mode — the ci_mpc_policy default).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (CONFIGURATION_FORCE,
+                                            NewtonOptions, ci_mpc_policy,
+                                            from_gait, initial_conditions,
+                                            tracking_error,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.models import flamingo
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    model, env = flamingo, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    # mpc_flamingo.jl:8-10 — no friction update: θ keeps the gait's μ=0.1
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"))
+
+    n_sample = 5
+    h_mpc = 15
+    kappa_mpc = 2.0e-4
+    h = float(ref.h)
+
+    # weights from mpc_flamingo.jl:22-27
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e0, 1, 1e4, 1, 1, 1, 1, 1e4, 1e4]),
+                  (h_mpc, 1)),
+        q=np.tile(1e-1 * np.array([3e2, 1e-6, 3e2, 1, 1, 1, 1, 0.1, 0.1]),
+                  (h_mpc, 1)),
+        u=np.tile(3e-1 * np.array([0.1, 0.1, 0.3, 0.3, 1.0, 1.0]),
+                  (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION_FORCE,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa_mpc, max_iter=30))
+
+    q1, v1 = initial_conditions(ref)
+    h_sim = 1000
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, env, h_sim, h / n_sample, q, v, policy=policy))(q1, v1)
+    return ref, traj, n_sample
+
+
+def test_mpc_flamingo_status(rollout):
+    _, traj, _ = rollout
+    assert bool(ci.status(traj))
+
+
+def test_mpc_flamingo_tracking(rollout):
+    """mpc_flamingo.jl:70-74 thresholds (fail at 1.5× nominal)."""
+    ref, traj, n_sample = rollout
+    qerr, uerr, gerr, berr = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample, idx_shift=(0,))
+    print(f"tracking: q={qerr:.4f} u={uerr:.4f} γ={gerr:.4f} b={berr:.4f}")
+    assert qerr < 0.0154 * 1.5, qerr
+    assert uerr < 0.0829 * 1.5, uerr
+    assert gerr < 0.444 * 1.5, gerr
+    assert berr < 0.0169 * 1.5, berr
