@@ -77,12 +77,19 @@ def ci_mpc_policy(
     n_sample: int = 1,
     kappa_mpc: float = 1.0e-4,
     mode: str = CONFIGURATION_FORCE,
+    newton_mode: str = "direct",
     n_opts: Optional[NewtonOptions] = None,
     ip_opts: Optional[IPOptions] = None,
     mpc_opts: CIMPCOptions = CIMPCOptions(),
 ):
     """Build the (init_state, apply) pair consumed by ``simulate``
-    (ci_mpc_policy, policy.jl:42-96)."""
+    (ci_mpc_policy, policy.jl:42-96).
+
+    ``newton_mode``: ``"direct"`` assembles the dense horizon KKT (the
+    reference's default); ``"structure"`` uses the O(H) block-tridiagonal
+    Riccati sweep (the reference's unfinished :structure mode, completed
+    here — configuration mode only).
+    """
     dims = dims_of(model, env)
     nd = nd_of(dims, mode)
     h_ref = ref_traj.horizon
@@ -96,6 +103,13 @@ def ci_mpc_policy(
     lin = linearize_trajectory(model, env, ref_traj, kappa_mpc)
     stride = get_stride(model, ref_traj)
     assembler = NewtonAssembler(dims, h_mpc, mode)
+
+    if newton_mode == "structure":
+        return _structure_policy(model, env, dims, ref_traj, obj, lin,
+                                 stride, h_mpc, n_sample, kappa_mpc,
+                                 n_opts, ip_opts, mpc_opts)
+    if newton_mode != "direct":
+        raise ValueError(f"invalid newton_mode {newton_mode!r}")
 
     def init_state() -> CIMPCState:
         return CIMPCState(
@@ -159,6 +173,91 @@ def ci_mpc_policy(
             .at[-1].set(obs.gamma),
             q_buf=jnp.roll(state.q_buf, -1, axis=0).at[-1].set(obs.q1))
 
+        state = jax.lax.cond(state.cnt == n_sample,
+                             lambda s: unify_varying(control_update(s, obs)),
+                             lambda s: unify_varying(s), state)
+        state = state._replace(cnt=state.cnt + 1)
+        return state.u / n_sample, state
+
+    return init_state, apply
+
+
+def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
+                      n_sample, kappa_mpc, n_opts, ip_opts, mpc_opts):
+    """Structure-mode CIMPC (reference newton_mode=:structure,
+    policy.jl:78-84, completed)."""
+    import numpy as _np
+
+    from .objective import TrackingVelocityObjective
+    from .structure_solver import (build_structure_objective,
+                                   state_from_reference,
+                                   structure_newton_solve)
+
+    h_ref = ref_traj.horizon
+    dtype = ref_traj.q.dtype
+    nq, nu = dims.nq, dims.nu
+
+    # map per-knot tracking weights to 1-based padded stage weights
+    # (quadratic_objective / update_objective!, methods.jl:591-628)
+    def pad_rows(w, rows):
+        w = jnp.asarray(w, dtype)
+        idx = _np.minimum(_np.arange(rows), w.shape[0] - 1)
+        out = w[jnp.asarray(idx)]
+        return jnp.concatenate([jnp.zeros((1, w.shape[1]), dtype), out])
+
+    q_w = pad_rows(obj.q, h_mpc)
+    v_w = (pad_rows(obj.v, h_mpc)
+           if isinstance(obj, TrackingVelocityObjective)
+           else jnp.zeros((h_mpc + 1, nq), dtype))
+    u_w = pad_rows(obj.u, h_mpc)
+    sobj = build_structure_objective(dims, q_w, v_w, u_w,
+                                     n_opts.beta_init, h_mpc, dtype)
+
+    def init_state() -> CIMPCState:
+        return CIMPCState(
+            ref_traj=ref_traj,
+            newton_traj=_slice_horizon(ref_traj, h_mpc),
+            nu=jnp.zeros((h_mpc, 2 * nq), dtype),
+            window=jnp.arange(h_mpc, dtype=jnp.int32),
+            q0=ref_traj.q[0],
+            cnt=jnp.asarray(n_sample, jnp.int32),
+            u=ref_traj.u[0],
+            altitude=jnp.zeros((dims.nc,), dtype),
+            gamma_buf=jnp.zeros((n_sample, dims.nc), dtype),
+            q_buf=jnp.zeros((n_sample, dims.nq), dtype),
+        )
+
+    def control_update(state: CIMPCState, obs: PolicyObs) -> CIMPCState:
+        warm = obs.t > 0
+        ref_window = _slice_horizon(state.ref_traj, h_mpc)
+        lin_w = gather(lin, state.window[:h_mpc - 1])
+
+        q_ref = ref_window.q[:h_mpc + 1]
+        u_ref = ref_window.u[:h_mpc - 1]
+        theta_template = ref_window.theta[:h_mpc - 1]
+        st0 = state_from_reference(q_ref, u_ref, dims, h_mpc, dtype)
+        nu1 = jnp.where(warm, state.nu[:, :nq], jnp.zeros((h_mpc, nq), dtype))
+        nu2 = jnp.where(warm, state.nu[:, nq:], jnp.zeros((h_mpc, nq), dtype))
+        st0 = st0._replace(nu1=nu1, nu2=nu2)
+
+        result = structure_newton_solve(
+            dims, sobj, lin_w, q_ref, u_ref, theta_template,
+            state.q0, obs.q1, st0, state.altitude, ip_opts, n_opts, h_mpc)
+
+        return state._replace(
+            ref_traj=rot_n_stride(dims, state.ref_traj, stride),
+            nu=jnp.concatenate([result.state.nu1, result.state.nu2], axis=1),
+            window=(state.window + 1) % h_ref,
+            q0=obs.q1,
+            cnt=jnp.zeros((), jnp.int32),
+            u=result.state.u[1],
+        )
+
+    def apply(state: CIMPCState, obs: PolicyObs):
+        state = state._replace(
+            gamma_buf=jnp.roll(state.gamma_buf, -1, axis=0)
+            .at[-1].set(obs.gamma),
+            q_buf=jnp.roll(state.q_buf, -1, axis=0).at[-1].set(obs.q1))
         state = jax.lax.cond(state.cnt == n_sample,
                              lambda s: unify_varying(control_update(s, obs)),
                              lambda s: unify_varying(s), state)

@@ -168,33 +168,34 @@ def ip_solve(
         # Backtracking line search on the residual merit at the central-path
         # target (RoboDojo's max_ls loop; sim path runs 25 halvings,
         # simulator.jl:24-32). All candidates for both directions are
-        # evaluated as one batch; the largest Armijo-passing corrected α
-        # wins, then the largest passing centering α, then the smallest
-        # centering α (accept-after-exhaustion, as the reference).
+        # evaluated as ONE batch (one vmapped residual instance keeps the
+        # compiled program small); the largest Armijo-passing corrected α
+        # wins, then the largest passing centering α, then the
+        # minimum-merit candidate overall (more robust than the
+        # reference's accept-smallest-α when no candidate passes,
+        # particularly in float32).
         merit0 = jnp.sum(jnp.square(r_center))
         halvings = 0.5 ** jnp.arange(opts.max_ls + 1, dtype=dtype)
+        n_cand = opts.max_ls + 1
 
-        def candidates(d):
-            a0 = jnp.minimum(_step_length(y1, d[iy1], tau),
-                             _step_length(y2, d[iy2], tau))
-            alphas = a0 * halvings
+        a0_cor = jnp.minimum(_step_length(y1, d_cor[iy1], tau),
+                             _step_length(y2, d_cor[iy2], tau))
+        a0_cen = jnp.minimum(_step_length(y1, d_cen[iy1], tau),
+                             _step_length(y2, d_cen[iy2], tau))
+        alphas = jnp.concatenate([a0_cor * halvings, a0_cen * halvings])
+        dirs = jnp.concatenate(
+            [jnp.broadcast_to(d_cor, (n_cand,) + d_cor.shape),
+             jnp.broadcast_to(d_cen, (n_cand,) + d_cen.shape)])
 
-            def merit_of(a):
-                rr = residual_fn(z - a * d, theta, kappa_t)
-                return jnp.sum(jnp.square(rr))
+        def merit_of(a, d):
+            rr = residual_fn(z - a * d, theta, kappa_t)
+            return jnp.sum(jnp.square(rr))
 
-            merits = jax.vmap(merit_of)(alphas)
-            ok = merits < (1.0 - 1.0e-3 * alphas) * merit0
-            return alphas, ok
-
-        a_cor, ok_cor = candidates(d_cor)
-        a_cen, ok_cen = candidates(d_cen)
-        use_cor = jnp.any(ok_cor)
-        pick_cor = jnp.argmax(ok_cor)
-        pick_cen = jnp.where(jnp.any(ok_cen), jnp.argmax(ok_cen),
-                             opts.max_ls)
-        alpha = jnp.where(use_cor, a_cor[pick_cor], a_cen[pick_cen])
-        d = jnp.where(use_cor, d_cor, d_cen)
+        merits = jax.vmap(merit_of)(alphas, dirs)
+        ok = merits < (1.0 - 1.0e-3 * alphas) * merit0
+        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(merits))
+        alpha = alphas[pick]
+        d = dirs[pick]
 
         z_new = z - alpha * d
         r_new = residual_fn(z_new, theta, jnp.zeros((), dtype))

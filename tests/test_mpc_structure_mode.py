@@ -1,0 +1,54 @@
+"""Closed-loop hopper MPC with the O(H) structure-mode Newton solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, ci_mpc_policy,
+                                            from_gait, initial_conditions,
+                                            tracking_error,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_structure_mode_mpc_hopper():
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1.0e-4)
+    h = float(ref.h)
+    n_sample, h_mpc = 5, 10
+    kappa_mpc = 1.0e-4
+
+    qw = np.tile(1e-2 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    qw[-2:] = 1e-1 * np.array([0.1, 3, 1, 3])
+    vw = np.tile(1e-3 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    vw[:2] = 1e1 * np.array([0.1, 3, 1, 3])
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=qw, v=vw,
+        u=np.tile(np.array([3e-3, 1e0]), (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, newton_mode="structure",
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa_mpc, max_iter=30))
+
+    q1, v1 = initial_conditions(ref)
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, env, 500, h / n_sample, q, v, policy=policy))(q1, v1)
+    assert bool(ci.status(traj))
+    q_err, u_err, _, _ = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample)
+    print(f"structure-mode tracking: q={q_err:.4f} u={u_err:.4f}")
+    assert q_err < 0.06, q_err
+    qf = np.asarray(traj.q[-1])
+    assert 0.3 < qf[1] < 0.9

@@ -1,0 +1,94 @@
+"""Structure-mode Newton solve on the hopper gait: convergence and
+consistency with the tracking problem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.control.linearized import (gather,
+                                                       linearize_trajectory)
+from contactimplicitmpc_tpu.control.newton import NewtonOptions
+from contactimplicitmpc_tpu.control.structure_solver import (
+    build_structure_objective, state_from_reference, structure_newton_solve)
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1.0e-4)
+    lin = linearize_trajectory(model, env, ref, 1.0e-4)
+    return model, env, dims, ref, lin
+
+
+def test_structure_newton_tracks_gait(setup):
+    model, env, dims, ref, lin = setup
+    h = 10  # horizon (stages 1..h-1 are dynamic)
+    dtype = ref.q.dtype
+
+    qw = jnp.tile(jnp.asarray(1e-2 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    vw = jnp.tile(jnp.asarray(1e-3 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    uw = jnp.tile(jnp.asarray([3e-3, 1e0]), (h + 1, 1))
+    sobj = build_structure_objective(dims, qw, vw, uw, 1e-5, h, dtype)
+
+    lin_w = gather(lin, jnp.arange(h - 1))
+    q_ref = ref.q[:h + 1]
+    u_ref = ref.u[:h - 1]
+    theta_template = ref.theta[:h - 1]
+    state0 = state_from_reference(q_ref, u_ref, dims, h, dtype)
+
+    ip_opts = default_mpc_ip_options(1.0e-4, max_iter=30)
+    n_opts = NewtonOptions(r_tol=1e-6, max_iter=8)
+
+    # perturbed initial condition: the solve should pull back to the gait
+    q0 = ref.q[0] + jnp.asarray([0.0, 0.05, 0.02, 0.0], dtype)
+    q1 = ref.q[1] + jnp.asarray([0.0, 0.05, 0.02, 0.0], dtype)
+
+    result = jax.jit(lambda: structure_newton_solve(
+        dims, sobj, lin_w, q_ref, u_ref, theta_template, q0, q1, state0,
+        jnp.zeros((dims.nc,), dtype), ip_opts, n_opts, h))()
+
+    assert int(result.iterations) >= 1
+    n_total = (h - 1) * (dims.nu + 4 * dims.nq)
+    assert float(result.r_norm) / n_total < 1e-6, float(result.r_norm)
+    # consistency duplication satisfied: qa_{t+1} ≈ qb_t
+    qa, qb = result.state.qa, result.state.qb
+    gap = float(jnp.max(jnp.abs(qa[2:h + 1] - qb[1:h])))
+    assert gap < 1e-4, gap
+    # optimized trajectory stays near the gait
+    err = float(jnp.max(jnp.abs(qb[2:h + 1] - ref.q[2:h + 1])))
+    assert err < 0.1, err
+    # controls near the gait controls
+    uerr = float(jnp.max(jnp.abs(result.state.u[1:h] - ref.u[:h - 1])))
+    assert uerr < 0.5, uerr
+
+
+def test_structure_newton_unperturbed_stays(setup):
+    """At the exact gait initial conditions the solve should barely move."""
+    model, env, dims, ref, lin = setup
+    h = 10
+    dtype = ref.q.dtype
+    qw = jnp.tile(jnp.asarray(1e-2 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    vw = jnp.tile(jnp.asarray(1e-3 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    uw = jnp.tile(jnp.asarray([3e-3, 1e0]), (h + 1, 1))
+    sobj = build_structure_objective(dims, qw, vw, uw, 1e-5, h, dtype)
+    lin_w = gather(lin, jnp.arange(h - 1))
+    state0 = state_from_reference(ref.q[:h + 1], ref.u[:h - 1], dims, h,
+                                  dtype)
+    result = jax.jit(lambda: structure_newton_solve(
+        dims, sobj, lin_w, ref.q[:h + 1], ref.u[:h - 1],
+        ref.theta[:h - 1], ref.q[0], ref.q[1], state0,
+        jnp.zeros((dims.nc,), dtype),
+        default_mpc_ip_options(1e-4, max_iter=30),
+        NewtonOptions(r_tol=3e-4, max_iter=8), h))()
+    err = float(jnp.max(jnp.abs(result.state.qb[2:h + 1] - ref.q[2:h + 1])))
+    assert err < 0.02, err

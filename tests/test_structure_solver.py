@@ -1,0 +1,163 @@
+"""Structured O(H) KKT solver vs a dense oracle.
+
+Mirrors /root/reference/test/controller/newton_structure_solver.jl:1-179 —
+random block data, explicit dense [S Cᵀ; C 0] assembly, equality of the
+block-tridiagonal solve with the dense solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contactimplicitmpc_tpu.control.structure_solver import (
+    block_tridiag_cholesky, block_tridiag_solve, build_structure_objective,
+    compute_y_blocks, structure_kkt_solve)
+from contactimplicitmpc_tpu.dims import Dims
+
+
+def _random_problem(seed=0, nq=3, nu=2, horizon=6):
+    rng = np.random.default_rng(seed)
+    h = horizon
+    q_w = 0.5 + rng.random((h + 1, nq))
+    v_w = 0.1 + 0.1 * rng.random((h + 1, nq))
+    u_w = 0.5 + rng.random((h + 1, nu))
+    aa = rng.standard_normal((h, nq, nq)) * 0.3
+    ab = rng.standard_normal((h, nq, nq)) * 0.3
+    ba = rng.standard_normal((h, nq, nu)) * 0.3
+    rlagu = rng.standard_normal((h, nu))
+    rlagqa = rng.standard_normal((h, nq))
+    rlagqb = rng.standard_normal((h, nq))
+    rdyn1 = rng.standard_normal((h, nq))
+    rdyn2 = rng.standard_normal((h, nq))
+    return (q_w, v_w, u_w, aa, ab, ba, rlagu, rlagqa, rlagqb, rdyn1, rdyn2)
+
+
+def _dense_kkt(obj, aa, ab, ba, h, nq, nu):
+    """Explicit dense S, C with variable order
+    [u_1, qa_2, qb_2, ..., u_{H-1}, qa_H, qb_H] and duals
+    [ν1_1, ν2_1, ..., ν1_{H-1}, ν2_{H-1}]."""
+    ns = nu + 2 * nq
+    nz = (h - 1) * ns
+    nd = (h - 1) * 2 * nq
+    S = np.zeros((nz, nz))
+    C = np.zeros((nd, nz))
+
+    def u_idx(t):  # t = 1..h-1
+        return (t - 1) * ns
+    def qa_idx(t):  # decision qa_t, t = 2..h
+        return (t - 2) * ns + nu
+    def qb_idx(t):
+        return (t - 2) * ns + nu + nq
+
+    for t in range(1, h):
+        S[u_idx(t):u_idx(t) + nu, u_idx(t):u_idx(t) + nu] = obj.ra[t]
+        s_t = t + 1  # stage of the decision block (qa_{t+1}, qb_{t+1})
+        i, j = qa_idx(s_t), qb_idx(s_t)
+        S[i:i + nq, i:i + nq] = obj.qa[s_t]
+        S[j:j + nq, j:j + nq] = obj.qb[s_t]
+        S[i:i + nq, j:j + nq] = obj.qv[s_t]
+        S[j:j + nq, i:i + nq] = np.asarray(obj.qv[s_t]).T
+
+    for t in range(1, h):
+        r1 = (t - 1) * 2 * nq
+        r2 = r1 + nq
+        # ν1_t: qa_{t+1} − qb_t
+        C[r1:r1 + nq, qa_idx(t + 1):qa_idx(t + 1) + nq] = np.eye(nq)
+        if t >= 2:
+            C[r1:r1 + nq, qb_idx(t):qb_idx(t) + nq] = -np.eye(nq)
+        # ν2_t: qb_{t+1} − (Aa qa_t + Ab qb_t + Ba u_t)
+        C[r2:r2 + nq, qb_idx(t + 1):qb_idx(t + 1) + nq] = np.eye(nq)
+        C[r2:r2 + nq, u_idx(t):u_idx(t) + nu] = -np.asarray(ba[t])
+        if t >= 2:
+            C[r2:r2 + nq, qa_idx(t):qa_idx(t) + nq] = -np.asarray(aa[t])
+            C[r2:r2 + nq, qb_idx(t):qb_idx(t) + nq] = -np.asarray(ab[t])
+    return S, C
+
+
+def test_y_blocks_match_dense():
+    nq, nu, h = 3, 2, 6
+    dims = Dims(nq=nq, nu=nu, nw=0, nc=1, nf=2, ne=2)
+    (q_w, v_w, u_w, aa, ab, ba, *_ ) = _random_problem()
+    obj = build_structure_objective(dims, jnp.asarray(q_w), jnp.asarray(v_w),
+                                    jnp.asarray(u_w), 1e-5, h)
+    S, C = _dense_kkt(obj, aa, ab, ba, h, nq, nu)
+    y_dense = C @ np.linalg.inv(S) @ C.T
+
+    yii, yij = compute_y_blocks(obj, jnp.asarray(aa), jnp.asarray(ab),
+                                jnp.asarray(ba), 0.0, h)
+    n = 2 * nq
+    for t in range(h - 1):
+        np.testing.assert_allclose(
+            np.asarray(yii[t]), y_dense[t * n:(t + 1) * n, t * n:(t + 1) * n],
+            atol=1e-8)
+    for t in range(h - 2):
+        np.testing.assert_allclose(
+            np.asarray(yij[t]),
+            y_dense[t * n:(t + 1) * n, (t + 1) * n:(t + 2) * n], atol=1e-8)
+
+
+def test_block_tridiag_solve_matches_dense():
+    rng = np.random.default_rng(3)
+    n, T = 4, 7
+    diag = rng.standard_normal((T, n, n))
+    diag = diag @ np.swapaxes(diag, 1, 2) + 5 * np.eye(n)
+    off = 0.3 * rng.standard_normal((T - 1, n, n))
+    y_dense = np.zeros((T * n, T * n))
+    for t in range(T):
+        y_dense[t * n:(t + 1) * n, t * n:(t + 1) * n] = diag[t]
+    for t in range(T - 1):
+        y_dense[t * n:(t + 1) * n, (t + 1) * n:(t + 2) * n] = off[t]
+        y_dense[(t + 1) * n:(t + 2) * n, t * n:(t + 1) * n] = off[t].T
+    b = rng.standard_normal((T, n))
+
+    lii, lji = block_tridiag_cholesky(jnp.asarray(diag), jnp.asarray(off))
+    x = block_tridiag_solve(lii, lji, jnp.asarray(b))
+    x_dense = np.linalg.solve(y_dense, b.reshape(-1)).reshape(T, n)
+    np.testing.assert_allclose(np.asarray(x), x_dense, atol=1e-8)
+
+
+def test_structure_kkt_solve_matches_dense():
+    nq, nu, h = 3, 2, 6
+    dims = Dims(nq=nq, nu=nu, nw=0, nc=1, nf=2, ne=2)
+    (q_w, v_w, u_w, aa, ab, ba, rlagu, rlagqa, rlagqb,
+     rdyn1, rdyn2) = _random_problem(seed=11)
+    obj = build_structure_objective(dims, jnp.asarray(q_w), jnp.asarray(v_w),
+                                    jnp.asarray(u_w), 1e-6, h)
+    S, C = _dense_kkt(obj, aa, ab, ba, h, nq, nu)
+
+    du, dqa, dqb, dnu1, dnu2 = structure_kkt_solve(
+        dims, obj, jnp.asarray(aa), jnp.asarray(ab), jnp.asarray(ba),
+        jnp.asarray(rlagu), jnp.asarray(rlagqa), jnp.asarray(rlagqb),
+        jnp.asarray(rdyn1), jnp.asarray(rdyn2), 0.0, h)
+
+    # dense reference
+    ns = nu + 2 * nq
+    nz, nd = (h - 1) * ns, (h - 1) * 2 * nq
+    rlag = np.zeros(nz)
+    rdyn = np.zeros(nd)
+    for t in range(1, h):
+        o = (t - 1) * ns
+        rlag[o:o + nu] = rlagu[t]
+        rlag[o + nu:o + nu + nq] = rlagqa[t]
+        rlag[o + nu + nq:o + ns] = rlagqb[t]
+        r = (t - 1) * 2 * nq
+        rdyn[r:r + nq] = rdyn1[t]
+        rdyn[r + nq:r + 2 * nq] = rdyn2[t]
+    kkt = np.block([[S, C.T], [C, np.zeros((nd, nd))]])
+    sol = np.linalg.solve(kkt, np.concatenate([rlag, rdyn]))
+    dz, dn = sol[:nz], sol[nz:]
+
+    for t in range(1, h):
+        o = (t - 1) * ns
+        np.testing.assert_allclose(np.asarray(du[t]), dz[o:o + nu],
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dqa[t]),
+                                   dz[o + nu:o + nu + nq], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dqb[t]),
+                                   dz[o + nu + nq:o + ns], atol=1e-7)
+        r = (t - 1) * 2 * nq
+        np.testing.assert_allclose(np.asarray(dnu1[t]), dn[r:r + nq],
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dnu2[t]), dn[r + nq:r + 2 * nq],
+                                   atol=1e-7)
