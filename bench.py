@@ -43,8 +43,8 @@ def main():
 
     import contactimplicitmpc_tpu as ci
     from contactimplicitmpc_tpu.control import (
-        CONFIGURATION, NewtonOptions, ci_mpc_policy, from_gait,
-        initial_conditions, tracking_error, tracking_objective)
+        NewtonOptions, from_gait, initial_conditions, tracking_error,
+        tracking_objective)
     from contactimplicitmpc_tpu.models import quadruped as model
     from contactimplicitmpc_tpu.models.base import dims_of
     from contactimplicitmpc_tpu.sim.interior_point import IPOptions
@@ -71,15 +71,11 @@ def main():
     sim_opts = IPOptions(r_tol=(1e-8 if use_f64 else 1e-3),
                          kappa_tol=(1e-8 if use_f64 else 1e-5),
                          max_iter=(100 if use_f64 else 40),
-                         undercut=float("inf"), max_ls=25)
+                         undercut=float("inf"),
+                         max_ls=(25 if use_f64 else 6))
     mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
                        kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
                        gamma_reg=0.1, diff_sol=True, max_ls=3)
-
-    policy = ci_mpc_policy(
-        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
-        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
-        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5), ip_opts=mpc_ip)
 
     q1, v1 = initial_conditions(ref)
     key = jax.random.PRNGKey(0)
@@ -87,9 +83,15 @@ def main():
     q1s = q1[None, :] + offsets.at[:, 2:].multiply(0.1)
     v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
 
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        CONFIGURATION
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+
     def rollout(q, v):
-        return ci.simulate(model, env, h_sim_steps, h / n_sample, q, v,
-                           policy=policy, opts=sim_opts)
+        return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
+                           n_sample, kappa_mpc, CONFIGURATION, q, v,
+                           n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+                           ip_opts=mpc_ip, sim_opts=sim_opts)
 
     fn = jax.jit(jax.vmap(rollout))
     t0 = time.time()
@@ -106,7 +108,7 @@ def main():
     n_solves = batch * (h_sim_steps // n_sample)
     solves_per_s = n_solves / dt
 
-    ok = float(jnp.mean(jnp.all(traj.converged, axis=1)))
+    ok = float(jnp.mean(jnp.all(traj.sim_converged, axis=1)))
     qe, ue, _, _ = tracking_error(
         ref, traj.q[0], traj.u[0], traj.gamma[0], traj.b[0], n_sample,
         idx_shift=(0,))

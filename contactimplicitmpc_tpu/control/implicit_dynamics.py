@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..dims import Dims
 from ..sim.interior_point import IPOptions, ip_solve
-from .linearized import LinearizedData, linearized_residual_fns
+from .linearized import (LinearizedData, linearized_residual_fns,
+                         make_schur_solver)
 from .trajectory import ContactTraj
 
 CONFIGURATION = "configuration"
@@ -73,7 +74,8 @@ def implicit_dynamics(dims: Dims, mode: str, lin: LinearizedData,
             dims, lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0, alt)
         z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(q2_init)
         return ip_solve(dims, r_fn, z0, theta, opts,
-                        jacobian_fn=rz_fn, rtheta_fn=rt_fn)
+                        jacobian_fn=rz_fn, rtheta_fn=rt_fn,
+                        linear_solver=make_schur_solver(dims, lin_rz0, opts))
 
     res = jax.vmap(solve_knot)(lin.z0, lin.theta0, lin.r0, lin.rz0,
                                lin.rtheta0, traj.q[2:horizon + 2], traj.theta)

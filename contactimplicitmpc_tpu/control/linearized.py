@@ -86,3 +86,58 @@ def linearized_residual_fns(dims: Dims, z0, theta0, r0, rz0, rtheta0, alt):
         return rtheta0
 
     return r_fn, rz_fn, rtheta_fn
+
+
+def make_schur_solver(dims: Dims, rz0, opts):
+    """Structured linear-system backend for the linearized IP solve
+    (linear_solve!, linearized_solver.jl:424-444).
+
+    The Jacobian is ``[[Dx Dy1 0]; [Rx Ry1 diag(Ry2)]; [0 diag(y2)
+    diag(y1)]]`` with only the bilinear diagonals changing per IP
+    iteration. Eliminating y2 diagonally leaves a 2×2 block system whose
+    Schur complement about the constant ``Dx`` needs only an ny×ny
+    factorization per iteration — Dx⁻¹, Rx Dx⁻¹ and Rx Dx⁻¹ Dy1 are
+    precomputed once per linearization point (RZLin, linearized_solver.jl:
+    224-304). On TPU this cuts the sequential factorization depth from
+    nz to ny per iteration.
+    """
+    import jax.scipy.linalg as jsl
+
+    idyn, irst, ibil = dims.idyn, dims.irst, dims.ibil
+    ix, iy1, iy2 = dims.ix, dims.iy1, dims.iy2
+
+    dx = rz0[idyn, ix]
+    dy1 = rz0[idyn, iy1]
+    rx = rz0[irst, ix]
+    ry1 = rz0[irst, iy1]
+    ry2 = jnp.diagonal(rz0[irst, iy2])
+
+    dxi = jnp.linalg.inv(dx)
+    cai = rx @ dxi
+    caib = cai @ dy1
+
+    gamma_reg = opts.gamma_reg
+
+    def factor(z, theta, kvio):
+        dtype = z.dtype
+        reg = jnp.asarray(gamma_reg, dtype) * kvio
+        y1r = jnp.maximum(z[iy1], reg)
+        y2r = jnp.maximum(z[iy2], reg)
+        d = ry1 - jnp.diag(ry2 * y2r / y1r)
+        s_lu = jsl.lu_factor(d - caib)
+        return (s_lu, y1r, y2r)
+
+    def solve(factors, rhs):
+        s_lu, y1r, y2r = factors
+        vec = rhs.ndim == 1
+        r = rhs[:, None] if vec else rhs
+        rdyn, rrst, rbil = r[idyn], r[irst], r[ibil]
+        v = rrst - (ry2 / y1r)[:, None] * rbil
+        temp = jsl.lu_solve(s_lu, cai @ rdyn - v)
+        x = dxi @ (rdyn + dy1 @ temp)
+        y = -temp
+        dy2 = (rbil - y2r[:, None] * y) / y1r[:, None]
+        out = jnp.concatenate([x, y, dy2], axis=0)
+        return out[:, 0] if vec else out
+
+    return factor, solve

@@ -1,0 +1,159 @@
+"""Compile-lean closed-loop MPC rollout for benchmarks and pod-scale
+sweeps.
+
+The general path (``ci_mpc_policy`` + ``simulate``) keeps the reference's
+per-sim-step policy dispatch, which under jit duplicates the whole control
+update inside a ``lax.cond`` and nests the Newton line search's vmap over
+the per-knot vmap — fine on CPU, but the XLA:TPU compile cost scales with
+program size. This module restructures the same computation as::
+
+    scan over control periods:
+        one CIMPC Newton solve          (control update)
+        scan over N_sample physics steps (interior-point sim)
+
+which eliminates the cond, the sample-and-hold counters, and one level of
+control-flow nesting, compiling to a much smaller TPU program with
+identical semantics for the standard "control every N_sample steps"
+schedule (policy.jl:98-152).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dims import Dims
+from ..models.base import Model, dims_of
+from ..sim.interior_point import IPOptions, ip_solve, z_initialize
+from ..sim.residual import pack_theta, residual
+from ..utils.vma import unify_varying
+from .implicit_dynamics import nd_of
+from .linearized import gather, linearize_trajectory
+from .newton import NewtonAssembler, NewtonOptions, newton_solve
+from .trajectory import ContactTraj, get_stride, rot_n_stride
+
+
+class MPCRollout(NamedTuple):
+    q: jnp.ndarray          # (T+2, nq)
+    u: jnp.ndarray          # (T, nu) applied controls
+    gamma: jnp.ndarray      # (T, nc)
+    b: jnp.ndarray          # (T, nb)
+    sim_converged: jnp.ndarray   # (T,)
+    mpc_r_norm: jnp.ndarray      # (T/N_sample,) final Newton residuals
+
+
+def mpc_rollout(
+    model: Model,
+    env,
+    ref_traj: ContactTraj,
+    obj,
+    horizon_sim: int,
+    h_mpc: int,
+    n_sample: int,
+    kappa_mpc: float,
+    mode: str,
+    q1,
+    v1,
+    n_opts: Optional[NewtonOptions] = None,
+    ip_opts: Optional[IPOptions] = None,
+    sim_opts: Optional[IPOptions] = None,
+):
+    """Closed-loop CIMPC rollout, one jittable program.
+
+    ``horizon_sim`` must be a multiple of ``n_sample``.
+    """
+    from .implicit_dynamics import default_mpc_ip_options
+
+    assert horizon_sim % n_sample == 0
+    n_ctrl = horizon_sim // n_sample
+    dims = dims_of(model, env)
+    nd = nd_of(dims, mode)
+    dtype = ref_traj.q.dtype
+    h_ref = ref_traj.horizon
+    h_sim = float(ref_traj.h) / n_sample
+
+    n_opts = n_opts or NewtonOptions(r_tol=3.0e-4, max_iter=5)
+    ip_opts = ip_opts or default_mpc_ip_options(kappa_mpc)
+    sim_opts = sim_opts or IPOptions(r_tol=1e-8, kappa_tol=1e-8,
+                                     max_iter=100, undercut=float("inf"),
+                                     max_ls=6)
+
+    lin = linearize_trajectory(model, env, ref_traj, kappa_mpc)
+    stride = get_stride(model, ref_traj)
+    assembler = NewtonAssembler(dims, h_mpc, mode)
+    mu = jnp.asarray(model.mu_world, dtype)
+
+    def slice_h(traj):
+        return ContactTraj(h=traj.h, kappa=traj.kappa,
+                           q=traj.q[:h_mpc + 2], u=traj.u[:h_mpc],
+                           w=traj.w[:h_mpc], gamma=traj.gamma[:h_mpc],
+                           b=traj.b[:h_mpc], z=traj.z[:h_mpc],
+                           theta=traj.theta[:h_mpc])
+
+    def r_fn(z, th, kap):
+        return residual(model, env, z, th, kap)
+
+    def sim_substeps(q0, q1, u):
+        """N_sample physics steps under the held control u / N_sample."""
+        u_step = u / n_sample
+
+        def step(carry, _):
+            qa, qb = carry
+            theta = pack_theta(qa, qb, u_step, jnp.zeros((dims.nw,), dtype),
+                               mu, h_sim)
+            res = ip_solve(dims, r_fn, z_initialize(dims, qb), theta,
+                           sim_opts)
+            q2 = res.z[dims.iq2]
+            return (qb, q2), (q2, res.z[dims.igamma1], res.z[dims.ib1],
+                              res.converged)
+
+        (qa, qb), ys = jax.lax.scan(step, (q0, q1), None, length=n_sample)
+        return qa, qb, ys
+
+    def control_period(carry, t):
+        (ref_rot, newton_traj, nu, window, q_ctrl_prev, qa_sim,
+         qb_sim) = carry
+        warm = t > 0
+
+        ref_window = slice_h(ref_rot)
+        lin_w = gather(lin, window)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(warm, x, y), a, b)
+        traj0 = sel(newton_traj, ref_window)
+        nu0 = jnp.where(warm, nu, jnp.zeros_like(nu))
+
+        # newton sees configurations one control period (= gait step h)
+        # apart: (q at previous update, current q) — policy.jl:117-132
+        result = newton_solve(dims, mode, assembler, obj, lin_w, ref_window,
+                              traj0, nu0, q_ctrl_prev, qb_sim,
+                              jnp.zeros((dims.nc,), dtype), ip_opts, n_opts)
+        u = result.traj.u[0]
+
+        qa, qb, ys = sim_substeps(qa_sim, qb_sim, u)
+
+        carry = (rot_n_stride(dims, ref_rot, stride), result.traj,
+                 result.nu, (window + 1) % h_ref, qb_sim, qa, qb)
+        return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
+                       result.r_norm)
+
+    q1 = jnp.asarray(q1, dtype)
+    q0 = q1 - h_sim * jnp.asarray(v1, dtype)
+    # the MPC's previous-control-period configuration starts at the gait's
+    # q[0] (policy.jl:101-102: p.q0 = ref_traj.q[1])
+    carry0 = (ref_traj, slice_h(ref_traj),
+              jnp.zeros((h_mpc, nd), dtype),
+              jnp.arange(h_mpc, dtype=jnp.int32),
+              ref_traj.q[0], q0, q1)
+    carry0 = unify_varying(carry0)
+    _, ((qs, gammas, bs, conv), us, r_norms) = jax.lax.scan(
+        control_period, carry0, jnp.arange(n_ctrl))
+
+    qs = qs.reshape(horizon_sim, dims.nq)
+    q_full = jnp.concatenate([q0[None], q1[None], qs], axis=0)
+    return MPCRollout(q=q_full, u=us.reshape(horizon_sim, dims.nu),
+                      gamma=gammas.reshape(horizon_sim, dims.nc),
+                      b=bs.reshape(horizon_sim, dims.nb),
+                      sim_converged=conv.reshape(horizon_sim),
+                      mpc_r_norm=r_norms)

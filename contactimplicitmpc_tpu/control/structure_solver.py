@@ -295,7 +295,7 @@ def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
     th = th.at[:, dims.iq1].set(state.qb[1:h])
     th = th.at[:, dims.iu1].set(state.u[1:h])
 
-    from .linearized import linearized_residual_fns
+    from .linearized import linearized_residual_fns, make_schur_solver
 
     def solve_knot(lz0, lth0, lr0, lrz0, lrt0, qinit, theta):
         r_fn, rz_fn, rt_fn = linearized_residual_fns(
@@ -303,7 +303,8 @@ def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
         z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(qinit)
         from ..sim.interior_point import ip_solve
         return ip_solve(dims, r_fn, z0, theta, opts,
-                        jacobian_fn=rz_fn, rtheta_fn=rt_fn)
+                        jacobian_fn=rz_fn, rtheta_fn=rt_fn,
+                        linear_solver=make_schur_solver(dims, lrz0, opts))
 
     res = jax.vmap(solve_knot)(lin.z0, lin.theta0, lin.r0, lin.rz0,
                                lin.rtheta0, state.qb[1:h], th)

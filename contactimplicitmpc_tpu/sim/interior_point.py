@@ -87,6 +87,33 @@ def _step_length(y, dy, tau):
     return jnp.minimum(jnp.asarray(1.0, y.dtype), jnp.min(ratio))
 
 
+def make_dense_solver(dims: Dims, jacobian_fn, opts: IPOptions):
+    """Default linear-system backend: regularized dense LU.
+
+    The bilinear diagonal blocks are clamped from below — the analog of
+    y1_reg/y2_reg in rzlin! (linearized_solver.jl:390-394). The clamp
+    scales with the current bilinear violation so it vanishes near the
+    central path (a fixed clamp of γ_reg stalls the fraction-to-boundary
+    step once cone variables shrink below γ_reg)."""
+    iy1, iy2, ibil = dims.iy1, dims.iy2, dims.ibil
+
+    def factor(z, theta, kvio):
+        rz = jacobian_fn(z, theta)
+        dtype = z.dtype
+        reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
+        y1 = jnp.maximum(z[iy1], reg)
+        y2 = jnp.maximum(z[iy2], reg)
+        rows = jnp.arange(ibil.start, ibil.stop)
+        rz = rz.at[rows, jnp.arange(iy1.start, iy1.stop)].set(y2)
+        rz = rz.at[rows, jnp.arange(iy2.start, iy2.stop)].set(y1)
+        return jax.scipy.linalg.lu_factor(rz)
+
+    def solve(factors, rhs):
+        return jax.scipy.linalg.lu_solve(factors, rhs)
+
+    return factor, solve
+
+
 def ip_solve(
     dims: Dims,
     residual_fn: Callable,          # (z, θ, κ) -> (nz,)
@@ -95,11 +122,15 @@ def ip_solve(
     opts: IPOptions,
     jacobian_fn: Optional[Callable] = None,   # (z, θ) -> (nz, nz)
     rtheta_fn: Optional[Callable] = None,     # (z, θ) -> (nz, nθ)
+    linear_solver=None,  # (factor, solve) pair overriding the dense LU
 ) -> IPResult:
     """Solve the NCP ``r(z, θ, κ→κ_tol) = 0`` with cone constraints.
 
     ``jacobian_fn`` defaults to forward-mode autodiff of ``residual_fn``;
     pass an explicit one for the structure-exploiting linearized path.
+    ``linear_solver`` lets callers supply a structured backend (e.g. the
+    Schur solver over the pre-linearized blocks); ``solve`` must accept a
+    matrix of right-hand sides as well as a vector.
     """
     dtype = z0.dtype
     ny = dims.ny
@@ -109,31 +140,18 @@ def ip_solve(
 
     iy1, iy2, ibil = dims.iy1, dims.iy2, dims.ibil
 
-    def regularized_jacobian(z, kvio):
-        """Autodiff Jacobian with the bilinear diagonal blocks clamped from
-        below — the analog of y1_reg/y2_reg in rzlin!
-        (linearized_solver.jl:390-394). The clamp scales with the current
-        bilinear violation so it vanishes near the central path (a fixed
-        clamp of γ_reg stalls the fraction-to-boundary step once cone
-        variables shrink below γ_reg)."""
-        rz = jacobian_fn(z, theta)
-        reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
-        y1 = jnp.maximum(z[iy1], reg)
-        y2 = jnp.maximum(z[iy2], reg)
-        rows = jnp.arange(ibil.start, ibil.stop)
-        rz = rz.at[rows, jnp.arange(iy1.start, iy1.stop)].set(y2)
-        rz = rz.at[rows, jnp.arange(iy2.start, iy2.stop)].set(y1)
-        return rz
+    if linear_solver is None:
+        linear_solver = make_dense_solver(dims, jacobian_fn, opts)
+    factor_fn, solve_fn = linear_solver
 
     def body(state):
         z, _, rvio, kvio, it, _ = state
 
         r0 = residual_fn(z, theta, jnp.zeros((), dtype))
-        rz = regularized_jacobian(z, kvio)
-        lu, piv = jax.scipy.linalg.lu_factor(rz)
+        factors = factor_fn(z, theta, kvio)
 
         # predictor (affine scaling) step
-        d_aff = jax.scipy.linalg.lu_solve((lu, piv), r0)
+        d_aff = solve_fn(factors, r0)
 
         y1, y2 = z[iy1], z[iy2]
         alpha_aff = _step_length(y1, d_aff[iy1],
@@ -155,11 +173,11 @@ def ip_solve(
         # (general_correction_term!, linearized_solver.jl:411-418)
         r_center = residual_fn(z, theta, kappa_t)
         r_cor = r_center.at[ibil].add(d_aff[iy1] * d_aff[iy2])
-        d_cor = jax.scipy.linalg.lu_solve((lu, piv), r_cor)
+        d_cor = solve_fn(factors, r_cor)
         # pure centering direction — always a descent direction for the
         # merit ‖r(·, κ_t)‖² (exact-Jacobian Gauss-Newton), used as the
         # fallback when the corrected step fails the line search
-        d_cen = jax.scipy.linalg.lu_solve((lu, piv), r_center)
+        d_cen = solve_fn(factors, r_center)
 
         tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
                        jnp.asarray(opts.tau_min, dtype),
@@ -217,13 +235,11 @@ def ip_solve(
     dz = None
     if opts.diff_sol:
         if rtheta_fn is None:
-            rtheta_fn = jax.jacfwd(
-                lambda th: residual_fn(z, th, 0.0))
-            rtheta = rtheta_fn(theta)
+            rtheta = jax.jacfwd(lambda th: residual_fn(z, th, 0.0))(theta)
         else:
             rtheta = rtheta_fn(z, theta)
-        rz = regularized_jacobian(z, kvio)
-        dz = -jnp.linalg.solve(rz, rtheta)
+        factors = factor_fn(z, theta, kvio)
+        dz = -solve_fn(factors, rtheta)
 
     return IPResult(z=z, converged=done, iterations=it,
                     rvio=rvio, kvio=kvio, dz=dz)
