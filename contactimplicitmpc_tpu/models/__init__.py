@@ -1,10 +1,15 @@
 from .base import (Model, contact_forces, dims_of, dynamics, e_mapping,
                    lagrangian_derivatives, velocity_stack)
+from .centroidal_quadruped import (CentroidalQuadruped,
+                                   centroidal_quadruped,
+                                   centroidal_quadruped_undamped,
+                                   relative_state_cost)
 from .flamingo import Flamingo, flamingo
 from .hopper_2d import Hopper2D, hopper_2d
 from .hopper_3d import Hopper3D, hopper_3d
 from .particle import Particle, particle
 from .particle_2d import Particle2D, particle_2d
+from .point_foot_quadruped import PointFootQuadruped, point_foot_quadruped
 from .pushbot import PushBot, pushbot
 from .quadruped import Quadruped, quadruped, quadruped_payload
 from .walledcartpole import WalledCartpole, walledcartpole
@@ -19,4 +24,7 @@ MODELS = {
     "flamingo": flamingo,
     "pushbot": pushbot,
     "walledcartpole": walledcartpole,
+    "centroidal_quadruped": centroidal_quadruped,
+    "centroidal_quadruped_undamped": centroidal_quadruped_undamped,
+    "point_foot_quadruped": point_foot_quadruped,
 }

@@ -93,6 +93,15 @@ class Model:
             jf = jnp.zeros((self.nq,), dtype=dtype)
         return jf
 
+    def damping_force(self, h, vm2):
+        """Velocity damping added to the integrator residual.
+
+        Default: −h · joint_friction ∘ v (model.jl:34). Models with
+        relative/structured damping override this (e.g.
+        point_foot_quadruped/model.jl:230-241)."""
+        jf = self.joint_friction_vector(jnp.result_type(vm2))
+        return -h * jf * vm2
+
 
 def dims_of(model: Model, env: "Environment") -> Dims:
     return Dims(nq=model.nq, nu=model.nu, nw=model.nw, nc=model.nc,
@@ -121,12 +130,11 @@ def dynamics(model: Model, h, q0, q1, u1, w1, lam1, q2):
     d1l1, d2l1 = lagrangian_derivatives(model, qm1, vm1)
     d1l2, d2l2 = lagrangian_derivatives(model, qm2, vm2)
 
-    jf = model.joint_friction_vector(jnp.result_type(q1))
     return (0.5 * h * d1l1 + d2l1 + 0.5 * h * d1l2 - d2l2
             + model.control_jacobian(qm2).T @ u1
             + model.disturbance_jacobian(qm2).T @ w1
             + lam1
-            - h * jf * vm2)
+            + model.damping_force(h, vm2))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Centroidal / point-foot quadruped cross-validation against reference
+gait data and physics sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait, initial_conditions
+from contactimplicitmpc_tpu.models import (centroidal_quadruped,
+                                           point_foot_quadruped)
+from contactimplicitmpc_tpu.models.centroidal_quadruped import \
+    CentroidalQuadruped
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_centroidal_stand_gait_residual():
+    """The stand_v0 gait knots satisfy our NCP residual (flat 3D env,
+    μ = 0.3)."""
+    model = centroidal_quadruped
+    env = ci.flat_3d_lc
+    ref = from_gait(model, env, load_gait("centroidal_quadruped",
+                                          "stand_v0"))
+
+    def rnorm(z, th):
+        return jnp.linalg.norm(ci.residual(model, env, z, th, 0.0))
+
+    norms = jax.vmap(rnorm)(ref.z, ref.theta)
+    assert float(jnp.max(norms)) < 1.0e-2, float(jnp.max(norms))
+
+
+def test_centroidal_trot_gait_residual():
+    """Trot gaits ship from an external optimizer (Calipso) whose inertial
+    parameters differ slightly, so only the contact-structure rows are
+    exact; dynamics rows agree to ~0.1."""
+    from contactimplicitmpc_tpu.models.base import dims_of
+
+    model = CentroidalQuadruped(mu_world=0.5)
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("centroidal_quadruped",
+                                          "inplace_trot_v2"))
+    r = jax.vmap(lambda z, th: ci.residual(model, env, z, th, 0.0))(
+        ref.z, ref.theta)
+    assert float(jnp.max(jnp.abs(r[:, dims.irst]))) < 1.0e-2
+    assert float(jnp.max(jnp.abs(r[:, dims.ibil]))) < 1.0e-3
+    assert float(jnp.max(jnp.abs(r[:, dims.idyn]))) < 0.2
+
+
+def test_centroidal_stand_simulation():
+    """Standing start with balanced foot forces stays standing."""
+    model = centroidal_quadruped
+    env = ci.flat_3d_lc
+    ref = from_gait(model, env, load_gait("centroidal_quadruped",
+                                          "stand_v0"))
+    q1, v1 = initial_conditions(ref)
+    # controls are impulses at the gait timestep: play them at h=ref.h
+    policy = ci.open_loop_policy(jnp.tile(ref.u[0][None], (100, 1)),
+                                 n_sample=1)
+    traj = jax.jit(lambda: ci.simulate(
+        model, env, 50, float(ref.h), q1, v1, policy=policy))()
+    assert bool(ci.status(traj))
+    # body height roughly maintained, feet stay above ground
+    assert abs(float(traj.q[-1][2] - q1[2])) < 0.05
+    assert float(jnp.min(traj.q[:, 8::3])) > -1e-6
+
+
+def test_point_foot_quadruped_stand_gait_residual():
+    model = point_foot_quadruped
+    env = ci.flat_3d_lc
+    ref = from_gait(model, env, load_gait("point_foot_quadruped",
+                                          "stand_v0"))
+
+    def rnorm(z, th):
+        return jnp.linalg.norm(ci.residual(model, env, z, th, 0.0))
+
+    norms = jax.vmap(rnorm)(ref.z, ref.theta)
+    assert float(jnp.max(norms)) < 1.0e-2, float(jnp.max(norms))
