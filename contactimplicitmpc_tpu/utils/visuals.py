@@ -1,0 +1,169 @@
+"""Trajectory visualization and export.
+
+The thin TPU-side equivalent of the reference's MeshCat stack
+(``/root/reference/src/visuals.jl``, ``src/dynamics/visuals.jl``): the
+metric-relevant pieces are trajectory export and 2D diagnostic plots
+(the reference's ``live_plotting``, mpc_utils.jl:156-183); 3D mesh
+animation is intentionally out of scope on a headless TPU host.
+
+Matplotlib is imported lazily so the module stays importable in
+plot-free environments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def export_trajectory(path: str, traj) -> str:
+    """Save a SimTrajectory / MPCRollout / ContactTraj as an .npz archive
+    (the build's analog of the JLD2 trajectory artifacts)."""
+    data = {k: np.asarray(v) for k, v in traj._asdict().items()
+            if hasattr(v, "shape")}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **data)
+    return path
+
+
+def plot_tracking(sim_q, ref_q, n_sample: int = 1, coords=None,
+                  path: Optional[str] = None, title: str = "tracking"):
+    """Configuration tracking vs the (tiled) reference
+    (live_plotting, mpc_utils.jl:156-183)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sim_q = np.asarray(sim_q)
+    ref_q = np.asarray(ref_q)
+    coords = list(coords) if coords is not None \
+        else list(range(min(4, sim_q.shape[1])))
+
+    fig, axes = plt.subplots(len(coords), 1, figsize=(8, 2 * len(coords)),
+                             sharex=True)
+    if len(coords) == 1:
+        axes = [axes]
+    t_sim = np.arange(sim_q.shape[0])
+    t_ref = np.arange(ref_q.shape[0]) * n_sample
+    for ax, c in zip(axes, coords):
+        ax.plot(t_sim, sim_q[:, c], label=f"sim q[{c}]", lw=1.2)
+        ax.plot(t_ref, ref_q[:, c], "--", label=f"ref q[{c}]", lw=1.0)
+        ax.legend(loc="best", fontsize=8)
+    axes[-1].set_xlabel("sim step")
+    fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_contacts(gamma, path: Optional[str] = None,
+                  title: str = "contact impulses"):
+    """Per-contact normal impulse traces."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gamma = np.asarray(gamma)
+    fig, ax = plt.subplots(figsize=(8, 3))
+    for i in range(gamma.shape[1]):
+        ax.plot(gamma[:, i], label=f"γ[{i}]", lw=1.0)
+    ax.set_xlabel("sim step")
+    ax.set_ylabel("impulse")
+    ax.legend(fontsize=8)
+    fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def skeleton_2d(model, q) -> Sequence[np.ndarray]:
+    """Polyline skeleton(s) of a planar model at configuration q, for
+    simple stick-figure rendering. Supported: hopper_2d, quadruped,
+    flamingo; other models fall back to contact points only."""
+    q = np.asarray(q)
+    name = type(model).__name__
+    if name == "Hopper2D":
+        body = q[:2]
+        foot = np.asarray(model.kinematics(q))[0]
+        return [np.stack([body, foot])]
+    if name == "Quadruped":
+        hip = q[:2]
+        torso = hip + model.l_torso * np.array(
+            [np.sin(q[2]), -np.cos(q[2])])
+        lines = [np.stack([hip, torso])]
+        for root, (i_th, i_ca) in ((hip, (3, 4)), (hip, (5, 6)),
+                                   (torso, (7, 8)), (torso, (9, 10))):
+            knee = root + model.l_thigh * np.array(
+                [np.sin(q[i_th]), -np.cos(q[i_th])])
+            foot = knee + model.l_calf * np.array(
+                [np.sin(q[i_ca]), -np.cos(q[i_ca])])
+            lines.append(np.stack([root, knee, foot]))
+        return lines
+    if name == "Flamingo":
+        hip = q[:2]
+        torso = hip + model.l_torso * np.array(
+            [-np.sin(q[2]), np.cos(q[2])])
+        lines = [np.stack([hip, torso])]
+        for i_th, i_ca, i_ft in ((3, 4, 7), (5, 6, 8)):
+            knee = hip + model.l_thigh * np.array(
+                [np.sin(q[i_th]), -np.cos(q[i_th])])
+            ankle = knee + model.l_calf * np.array(
+                [np.sin(q[i_ca]), -np.cos(q[i_ca])])
+            toe = ankle + model.l_foot * np.array(
+                [np.sin(q[i_ft]), -np.cos(q[i_ft])])
+            heel = ankle - model.d_foot * np.array(
+                [np.sin(q[i_ft]), -np.cos(q[i_ft])])
+            lines.append(np.stack([hip, knee, ankle]))
+            lines.append(np.stack([heel, ankle, toe]))
+        return lines
+    k = np.asarray(model.kinematics(q))
+    return [k[i:i + 1] for i in range(k.shape[0])]
+
+
+def animate_2d(model, qs, env=None, path: str = "rollout.gif",
+               every: int = 5, fps: int = 20):
+    """Stick-figure animation of a planar rollout → GIF
+    (visualize_robot! equivalent, src/visuals.jl:18-60)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    qs = np.asarray(qs)[::every]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    xmin, xmax = qs[:, 0].min() - 1.0, qs[:, 0].max() + 1.0
+    ax.set_xlim(xmin, xmax)
+    ax.set_ylim(-0.2, 1.5)
+    ax.set_aspect("equal")
+    if env is not None:
+        xs = np.linspace(xmin, xmax, 200)
+        ys = [float(env.surf(np.array([x]))) for x in xs]
+        ax.plot(xs, ys, "k-", lw=1.0)
+    else:
+        ax.axhline(0.0, color="k", lw=1.0)
+
+    artists = []
+
+    def draw(i):
+        for a in artists:
+            a.remove()
+        artists.clear()
+        for line in skeleton_2d(model, qs[i]):
+            (art,) = ax.plot(line[:, 0], line[:, 1], "o-", color="C0",
+                             lw=2.0, ms=3)
+            artists.append(art)
+        return artists
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(qs),
+                                   interval=1000 // fps, blit=False)
+    anim.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return path

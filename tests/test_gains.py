@@ -1,0 +1,57 @@
+"""TVLQR: Riccati sweep vs a hand-rolled dense recursion, and reference
+gains on the hopper gait."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait
+from contactimplicitmpc_tpu.control.gains import reference_gains, tvlqr
+from contactimplicitmpc_tpu.control.objective import \
+    tracking_velocity_objective
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_tvlqr_matches_dense_recursion():
+    rng = np.random.default_rng(0)
+    n, m, T = 4, 2, 8
+    a = rng.standard_normal((T - 1, n, n)) * 0.5
+    b = rng.standard_normal((T - 1, n, m))
+    q = np.stack([np.eye(n)] * T)
+    r = np.stack([0.1 * np.eye(m)] * (T - 1))
+
+    k, p = tvlqr(jnp.asarray(a), jnp.asarray(b), jnp.asarray(q),
+                 jnp.asarray(r))
+
+    # dense reference (gains.jl:1-16)
+    p_ref = [None] * T
+    k_ref = [None] * (T - 1)
+    p_ref[T - 1] = q[T - 1]
+    for t in range(T - 2, -1, -1):
+        btp = b[t].T @ p_ref[t + 1]
+        k_ref[t] = np.linalg.solve(r[t] + btp @ b[t], btp @ a[t])
+        acl = a[t] - b[t] @ k_ref[t]
+        p_ref[t] = q[t] + k_ref[t].T @ r[t] @ k_ref[t] \
+            + acl.T @ p_ref[t + 1] @ acl
+
+    np.testing.assert_allclose(np.asarray(k), np.stack(k_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p), np.stack(p_ref), atol=1e-9)
+
+
+def test_reference_gains_hopper():
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1e-4)
+    obj = tracking_velocity_objective(
+        dims, ref.horizon,
+        q=np.tile(1e-2 * np.array([0.1, 3, 1, 3]), (ref.horizon, 1)),
+        v=np.tile(1e-3 * np.ones(4), (ref.horizon, 1)),
+        u=np.tile(np.array([3e-3, 1.0]), (ref.horizon, 1)))
+    k = reference_gains(model, env, ref, obj, periods=3)
+    assert k.shape == (ref.horizon, dims.nu, 2 * dims.nq)
+    assert bool(jnp.all(jnp.isfinite(k)))
+    # gains are nontrivial
+    assert float(jnp.max(jnp.abs(k))) > 1e-3

@@ -1,0 +1,47 @@
+"""Visualization/export smoke tests (headless Agg backend)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.models import hopper_2d, quadruped
+from contactimplicitmpc_tpu.utils.visuals import (animate_2d,
+                                                  export_trajectory,
+                                                  plot_contacts,
+                                                  plot_tracking,
+                                                  skeleton_2d)
+
+
+def test_export_and_plots(tmp_path):
+    traj = jax.jit(lambda: ci.simulate(
+        hopper_2d, ci.flat_2d_lc, 30, 0.01,
+        jnp.asarray([0.0, 0.6, 0.0, 0.5]), jnp.zeros(4)))()
+    p = export_trajectory(str(tmp_path / "traj.npz"), traj)
+    assert os.path.exists(p)
+    with np.load(p) as f:
+        assert f["q"].shape == (32, 4)
+
+    p2 = plot_tracking(traj.q, traj.q[:10], path=str(tmp_path / "t.png"))
+    assert os.path.exists(p2)
+    p3 = plot_contacts(traj.gamma, path=str(tmp_path / "c.png"))
+    assert os.path.exists(p3)
+
+
+def test_skeletons():
+    q = jnp.asarray([0.0, 0.6, 0.1, 0.5])
+    lines = skeleton_2d(hopper_2d, q)
+    assert len(lines) == 1 and lines[0].shape == (2, 2)
+    qq = jnp.asarray([0.0, 0.3, 1.57, -0.5, 0.3, -0.6, 0.4, -0.55,
+                      0.35, -0.6, 0.45])
+    lines = skeleton_2d(quadruped, qq)
+    assert len(lines) == 5
+
+
+def test_animation(tmp_path):
+    qs = np.tile(np.array([0.0, 0.6, 0.0, 0.5]), (20, 1))
+    qs[:, 0] = np.linspace(0, 1, 20)
+    p = animate_2d(hopper_2d, qs, path=str(tmp_path / "roll.gif"), every=2)
+    assert os.path.exists(p)
