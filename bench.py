@@ -91,7 +91,8 @@ def main():
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
                            n_sample, kappa_mpc, CONFIGURATION, q, v,
                            n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
-                           ip_opts=mpc_ip, sim_opts=sim_opts)
+                           ip_opts=mpc_ip, sim_opts=sim_opts,
+                           warm_start_floor=1e-2)
 
     fn = jax.jit(jax.vmap(rollout))
     t0 = time.time()

@@ -59,23 +59,38 @@ class ImplicitDynamicsResult(NamedTuple):
 
 def implicit_dynamics(dims: Dims, mode: str, lin: LinearizedData,
                       traj: ContactTraj, alt: jnp.ndarray,
-                      opts: IPOptions) -> ImplicitDynamicsResult:
+                      opts: IPOptions,
+                      fixed_iters: int = 0) -> ImplicitDynamicsResult:
     """Solve all H knots of the smooth implicit model around ``lin``.
 
     ``lin`` must already be gathered to the horizon window
     (implicit_dynamics.jl:160-178: lin index = window, traj index = i).
+
+    ``fixed_iters > 0`` switches to the deterministic fixed-iteration
+    solver (``ops.linearized_ip_fixed``) — the TPU real-time path.
     """
     nd = nd_of(dims, mode)
     horizon = traj.horizon
     opts = dataclasses.replace(opts, diff_sol=True)
 
-    def solve_knot(lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0, q2_init, theta):
-        r_fn, rz_fn, rt_fn = linearized_residual_fns(
-            dims, lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0, alt)
-        z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(q2_init)
-        return ip_solve(dims, r_fn, z0, theta, opts,
-                        jacobian_fn=rz_fn, rtheta_fn=rt_fn,
-                        linear_solver=make_schur_solver(dims, lin_rz0, opts))
+    if fixed_iters > 0:
+        from ..ops.fixed_ip import linearized_ip_fixed
+
+        def solve_knot(lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0,
+                       q2_init, theta):
+            return linearized_ip_fixed(dims, lin_z0, lin_th0, lin_r0,
+                                       lin_rz0, lin_rt0, alt, theta,
+                                       q2_init, opts, iters=fixed_iters)
+    else:
+        def solve_knot(lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0,
+                       q2_init, theta):
+            r_fn, rz_fn, rt_fn = linearized_residual_fns(
+                dims, lin_z0, lin_th0, lin_r0, lin_rz0, lin_rt0, alt)
+            z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(q2_init)
+            return ip_solve(dims, r_fn, z0, theta, opts,
+                            jacobian_fn=rz_fn, rtheta_fn=rt_fn,
+                            linear_solver=make_schur_solver(dims, lin_rz0,
+                                                            opts))
 
     res = jax.vmap(solve_knot)(lin.z0, lin.theta0, lin.r0, lin.rz0,
                                lin.rtheta0, traj.q[2:horizon + 2], traj.theta)

@@ -58,6 +58,7 @@ class NewtonOptions:
     max_iter: int = 10
     beta_init: float = 1.0e-5
     max_ls: int = 6
+    fixed_ip_iters: int = 0  # >0: deterministic fixed-iteration knot solves
 
 
 class NewtonIndices:
@@ -303,7 +304,8 @@ def newton_solve(
     traj = update_theta(dims, traj._replace(q=q))
 
     def imp_of(tr):
-        return implicit_dynamics(dims, mode, lin, tr, alt, ip_opts)
+        return implicit_dynamics(dims, mode, lin, tr, alt, ip_opts,
+                                 fixed_iters=opts.fixed_ip_iters)
 
     imp = imp_of(traj)
     r = assembler.residual(obj, imp, traj, ref, nu)

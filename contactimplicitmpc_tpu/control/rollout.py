@@ -59,6 +59,7 @@ def mpc_rollout(
     n_opts: Optional[NewtonOptions] = None,
     ip_opts: Optional[IPOptions] = None,
     sim_opts: Optional[IPOptions] = None,
+    warm_start_floor: float = 0.0,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -95,26 +96,38 @@ def mpc_rollout(
     def r_fn(z, th, kap):
         return residual(model, env, z, th, kap)
 
-    def sim_substeps(q0, q1, u):
-        """N_sample physics steps under the held control u / N_sample."""
+    def sim_substeps(q0, q1, u, z_prev):
+        """N_sample physics steps under the held control u / N_sample.
+
+        The cone variables warm-start from the previous step's solution,
+        floored away from the boundary (z_warmstart!-style,
+        simulation.jl:87-101) — roughly halves interior-point iterations
+        along a steady gait.
+        """
         u_step = u / n_sample
+        floor = jnp.asarray(warm_start_floor, dtype)
 
         def step(carry, _):
-            qa, qb = carry
+            qa, qb, zp = carry
             theta = pack_theta(qa, qb, u_step, jnp.zeros((dims.nw,), dtype),
                                mu, h_sim)
-            res = ip_solve(dims, r_fn, z_initialize(dims, qb), theta,
-                           sim_opts)
+            if warm_start_floor > 0:
+                cone = jnp.maximum(zp[dims.nq:], floor)
+                z0 = jnp.concatenate([qb, cone])
+            else:
+                z0 = z_initialize(dims, qb)
+            res = ip_solve(dims, r_fn, z0, theta, sim_opts)
             q2 = res.z[dims.iq2]
-            return (qb, q2), (q2, res.z[dims.igamma1], res.z[dims.ib1],
-                              res.converged)
+            return (qb, q2, res.z), (q2, res.z[dims.igamma1],
+                                     res.z[dims.ib1], res.converged)
 
-        (qa, qb), ys = jax.lax.scan(step, (q0, q1), None, length=n_sample)
-        return qa, qb, ys
+        (qa, qb, zp), ys = jax.lax.scan(step, (q0, q1, z_prev), None,
+                                        length=n_sample)
+        return qa, qb, zp, ys
 
     def control_period(carry, t):
         (ref_rot, newton_traj, nu, window, q_ctrl_prev, qa_sim,
-         qb_sim) = carry
+         qb_sim, z_prev) = carry
         warm = t > 0
 
         ref_window = slice_h(ref_rot)
@@ -131,10 +144,10 @@ def mpc_rollout(
                               jnp.zeros((dims.nc,), dtype), ip_opts, n_opts)
         u = result.traj.u[0]
 
-        qa, qb, ys = sim_substeps(qa_sim, qb_sim, u)
+        qa, qb, zp, ys = sim_substeps(qa_sim, qb_sim, u, z_prev)
 
         carry = (rot_n_stride(dims, ref_rot, stride), result.traj,
-                 result.nu, (window + 1) % h_ref, qb_sim, qa, qb)
+                 result.nu, (window + 1) % h_ref, qb_sim, qa, qb, zp)
         return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
                        result.r_norm)
 
@@ -145,7 +158,7 @@ def mpc_rollout(
     carry0 = (ref_traj, slice_h(ref_traj),
               jnp.zeros((h_mpc, nd), dtype),
               jnp.arange(h_mpc, dtype=jnp.int32),
-              ref_traj.q[0], q0, q1)
+              ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype))
     carry0 = unify_varying(carry0)
     _, ((qs, gammas, bs, conv), us, r_norms) = jax.lax.scan(
         control_period, carry0, jnp.arange(n_ctrl))

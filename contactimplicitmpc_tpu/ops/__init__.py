@@ -1,0 +1,1 @@
+from .fixed_ip import linearized_ip_fixed

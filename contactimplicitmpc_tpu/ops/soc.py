@@ -1,0 +1,78 @@
+"""Second-order-cone operations for the nonlinear-friction-cone NCP.
+
+The NC formulation (index.jl:345-369, simulation.jl:160-186) keeps
+orthant complementarity for impact (γ ⟂ s1) and second-order-cone
+complementarity per contact between the primal cone [ψᵢ; ηᵢ] and the dual
+cone [s2ᵢ; bᵢ].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..dims import Dims
+
+
+def soc_product(u, v):
+    """u ∘ v = [uᵀv; u0 v̄ + v0 ū] (Jordan product)."""
+    return jnp.concatenate([jnp.dot(u, v)[None],
+                            u[0] * v[1:] + v[0] * u[1:]])
+
+
+def soc_step_length(u, du, tau):
+    """Largest α ∈ (0, 1] with u − α·du ∈ K (scaled by τ).
+
+    Solves the boundary quadratic of λmin(u − α du) = 0:
+    (u0 − α d0)² = ‖ū − α d̄‖², u0 − α d0 ≥ 0.
+    """
+    dtype = u.dtype
+    u0, ub = u[0], u[1:]
+    d0, db = du[0], du[1:]
+    # quadratic a α² + b α + c = 0 with
+    a = d0 * d0 - jnp.dot(db, db)
+    b = -2.0 * (u0 * d0 - jnp.dot(ub, db))
+    c = u0 * u0 - jnp.dot(ub, ub)          # ≥ 0 inside the cone
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    sq = jnp.sqrt(disc)
+    eps = jnp.asarray(1e-20, dtype)
+    r1 = (-b - sq) / (2.0 * jnp.where(jnp.abs(a) > eps, a, eps))
+    r2 = (-b + sq) / (2.0 * jnp.where(jnp.abs(a) > eps, a, eps))
+    r_lin = -c / jnp.where(jnp.abs(b) > eps, b, eps)
+    big = jnp.asarray(1e20, dtype)
+    roots = jnp.stack([r1, r2, jnp.where(jnp.abs(a) > eps, big, r_lin)])
+    # smallest positive root = distance to the boundary
+    pos = jnp.where(roots > 0, roots, big)
+    sigma = jnp.min(pos)
+    # also respect the scalar face u0 − α d0 ≥ 0
+    sigma0 = jnp.where(d0 > 0, u0 / d0, big)
+    alpha = tau * jnp.minimum(sigma, sigma0)
+    return jnp.minimum(jnp.asarray(1.0, dtype), alpha)
+
+
+class NCConeLayout:
+    """Static index sets of the NC cone structure (index.jl:345-369)."""
+
+    def __init__(self, dims: Dims):
+        nq, nc, nf = dims.nq, dims.nc, dims.nf
+        # orthant pair: γ (iy1 head) ⟂ s1 (iy2 head)
+        self.ort_a = np.arange(nq, nq + nc)                      # γ1
+        self.ort_b = np.arange(dims.is1.start, dims.is1.stop)    # s1
+        # per-contact SOC pairs: u = [ψ_i; η_i], v = [s2_i; b_i]
+        u_idx, v_idx = [], []
+        for i in range(nc):
+            psi = dims.ipsi1.start + i
+            eta = dims.ieta1.start + i * nf
+            s2 = dims.is2.start + i
+            b = dims.ib1.start + i * nf
+            u_idx.append([psi] + list(range(eta, eta + nf)))
+            v_idx.append([s2] + list(range(b, b + nf)))
+        self.soc_u = np.asarray(u_idx)   # (nc, nf+1)
+        self.soc_v = np.asarray(v_idx)
+        # bilinear residual rows: orthant rows then per-contact soc rows
+        self.bil_ort_rows = np.arange(dims.ibil.start,
+                                      dims.ibil.start + nc)
+        self.bil_soc_rows = np.asarray(
+            [list(range(dims.ibil.start + nc + i * (nf + 1),
+                        dims.ibil.start + nc + (i + 1) * (nf + 1)))
+             for i in range(nc)])

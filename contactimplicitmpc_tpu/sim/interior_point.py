@@ -87,31 +87,68 @@ def _step_length(y, dy, tau):
     return jnp.minimum(jnp.asarray(1.0, y.dtype), jnp.min(ratio))
 
 
-def make_dense_solver(dims: Dims, jacobian_fn, opts: IPOptions):
+def make_dense_solver(dims: Dims, jacobian_fn, opts: IPOptions,
+                      clamp_bilinear: bool = True):
     """Default linear-system backend: regularized dense LU.
 
     The bilinear diagonal blocks are clamped from below — the analog of
     y1_reg/y2_reg in rzlin! (linearized_solver.jl:390-394). The clamp
     scales with the current bilinear violation so it vanishes near the
     central path (a fixed clamp of γ_reg stalls the fraction-to-boundary
-    step once cone variables shrink below γ_reg)."""
+    step once cone variables shrink below γ_reg). ``clamp_bilinear=False``
+    keeps the exact autodiff Jacobian (second-order-cone rows)."""
     iy1, iy2, ibil = dims.iy1, dims.iy2, dims.ibil
 
     def factor(z, theta, kvio):
         rz = jacobian_fn(z, theta)
-        dtype = z.dtype
-        reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
-        y1 = jnp.maximum(z[iy1], reg)
-        y2 = jnp.maximum(z[iy2], reg)
-        rows = jnp.arange(ibil.start, ibil.stop)
-        rz = rz.at[rows, jnp.arange(iy1.start, iy1.stop)].set(y2)
-        rz = rz.at[rows, jnp.arange(iy2.start, iy2.stop)].set(y1)
+        if clamp_bilinear:
+            dtype = z.dtype
+            reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
+            y1 = jnp.maximum(z[iy1], reg)
+            y2 = jnp.maximum(z[iy2], reg)
+            rows = jnp.arange(ibil.start, ibil.stop)
+            rz = rz.at[rows, jnp.arange(iy1.start, iy1.stop)].set(y2)
+            rz = rz.at[rows, jnp.arange(iy2.start, iy2.stop)].set(y1)
         return jax.scipy.linalg.lu_factor(rz)
 
     def solve(factors, rhs):
         return jax.scipy.linalg.lu_solve(factors, rhs)
 
     return factor, solve
+
+
+def _nc_tools(dims: Dims):
+    """Cone-aware helpers for the nonlinear (second-order) cone layout."""
+    from ..ops.soc import NCConeLayout, soc_product, soc_step_length
+
+    layout = NCConeLayout(dims)
+
+    def step_length(z, d, tau):
+        a = _step_length(z[layout.ort_a], d[layout.ort_a], tau)
+        b = _step_length(z[layout.ort_b], d[layout.ort_b], tau)
+        alpha = jnp.minimum(a, b)
+        for i in range(dims.nc):
+            alpha = jnp.minimum(alpha, soc_step_length(
+                z[layout.soc_u[i]], d[layout.soc_u[i]], tau))
+            alpha = jnp.minimum(alpha, soc_step_length(
+                z[layout.soc_v[i]], d[layout.soc_v[i]], tau))
+        return alpha
+
+    def mu_of(z):
+        total = jnp.dot(z[layout.ort_a], z[layout.ort_b])
+        for i in range(dims.nc):
+            total = total + jnp.dot(z[layout.soc_u[i]], z[layout.soc_v[i]])
+        return total / (2 * dims.nc)
+
+    def correction(r, d):
+        r = r.at[layout.bil_ort_rows].add(
+            d[layout.ort_a] * d[layout.ort_b])
+        for i in range(dims.nc):
+            r = r.at[layout.bil_soc_rows[i]].add(
+                soc_product(d[layout.soc_u[i]], d[layout.soc_v[i]]))
+        return r
+
+    return step_length, mu_of, correction
 
 
 def ip_solve(
@@ -123,6 +160,7 @@ def ip_solve(
     jacobian_fn: Optional[Callable] = None,   # (z, θ) -> (nz, nz)
     rtheta_fn: Optional[Callable] = None,     # (z, θ) -> (nz, nθ)
     linear_solver=None,  # (factor, solve) pair overriding the dense LU
+    cone: str = "linearized",
 ) -> IPResult:
     """Solve the NCP ``r(z, θ, κ→κ_tol) = 0`` with cone constraints.
 
@@ -141,8 +179,26 @@ def ip_solve(
     iy1, iy2, ibil = dims.iy1, dims.iy2, dims.ibil
 
     if linear_solver is None:
-        linear_solver = make_dense_solver(dims, jacobian_fn, opts)
+        # SOC bilinear rows have arrow-matrix Jacobians — keep the exact
+        # autodiff Jacobian for the nonlinear cone
+        lc_opts = opts if cone == "linearized" else \
+            dataclasses.replace(opts, gamma_reg=0.0)
+        linear_solver = make_dense_solver(dims, jacobian_fn, lc_opts,
+                                          clamp_bilinear=(cone == "linearized"))
     factor_fn, solve_fn = linear_solver
+
+    if cone == "linearized":
+        def cone_step_length(z, d, tau):
+            return jnp.minimum(_step_length(z[iy1], d[iy1], tau),
+                               _step_length(z[iy2], d[iy2], tau))
+
+        def cone_mu(z):
+            return jnp.dot(z[iy1], z[iy2]) / ny
+
+        def cone_correction(r, d):
+            return r.at[ibil].add(d[iy1] * d[iy2])
+    else:
+        cone_step_length, cone_mu, cone_correction = _nc_tools(dims)
 
     def body(state):
         z, _, rvio, kvio, it, _ = state
@@ -154,14 +210,10 @@ def ip_solve(
         d_aff = solve_fn(factors, r0)
 
         y1, y2 = z[iy1], z[iy2]
-        alpha_aff = _step_length(y1, d_aff[iy1],
-                                 jnp.asarray(1.0, dtype))
-        alpha_aff = jnp.minimum(
-            alpha_aff, _step_length(y2, d_aff[iy2], jnp.asarray(1.0, dtype)))
+        alpha_aff = cone_step_length(z, d_aff, jnp.asarray(1.0, dtype))
 
-        mu = jnp.dot(y1, y2) / ny
-        mu_aff = jnp.dot(y1 - alpha_aff * d_aff[iy1],
-                         y2 - alpha_aff * d_aff[iy2]) / ny
+        mu = cone_mu(z)
+        mu_aff = cone_mu(z - alpha_aff * d_aff)
         sigma = jnp.clip(mu_aff / jnp.maximum(mu, jnp.finfo(dtype).tiny),
                          0.0, 1.0) ** 3
 
@@ -172,7 +224,7 @@ def ip_solve(
         # corrector with Mehrotra second-order term
         # (general_correction_term!, linearized_solver.jl:411-418)
         r_center = residual_fn(z, theta, kappa_t)
-        r_cor = r_center.at[ibil].add(d_aff[iy1] * d_aff[iy2])
+        r_cor = cone_correction(r_center, d_aff)
         d_cor = solve_fn(factors, r_cor)
         # pure centering direction — always a descent direction for the
         # merit ‖r(·, κ_t)‖² (exact-Jacobian Gauss-Newton), used as the
@@ -196,10 +248,8 @@ def ip_solve(
         halvings = 0.5 ** jnp.arange(opts.max_ls + 1, dtype=dtype)
         n_cand = opts.max_ls + 1
 
-        a0_cor = jnp.minimum(_step_length(y1, d_cor[iy1], tau),
-                             _step_length(y2, d_cor[iy2], tau))
-        a0_cen = jnp.minimum(_step_length(y1, d_cen[iy1], tau),
-                             _step_length(y2, d_cen[iy2], tau))
+        a0_cor = cone_step_length(z, d_cor, tau)
+        a0_cen = cone_step_length(z, d_cen, tau)
         alphas = jnp.concatenate([a0_cor * halvings, a0_cen * halvings])
         dirs = jnp.concatenate(
             [jnp.broadcast_to(d_cor, (n_cand,) + d_cor.shape),
@@ -245,8 +295,17 @@ def ip_solve(
                     rvio=rvio, kvio=kvio, dz=dz)
 
 
-def z_initialize(dims: Dims, q, dtype=None):
-    """z_initialize! (simulation.jl:53-57): ones with q2 slot set."""
+def z_initialize(dims: Dims, q, dtype=None, cone: str = "linearized"):
+    """z_initialize! (simulation.jl:53-81).
+
+    Linearized cone: ones with the q2 slot set. Nonlinear cone: 0.1 with
+    unit scalar parts so each SOC starts in the cone interior."""
     dtype = dtype or q.dtype
-    z = jnp.ones((dims.nz,), dtype)
-    return z.at[dims.iq2].set(q.astype(dtype))
+    if cone == "linearized":
+        z = jnp.ones((dims.nz,), dtype)
+        return z.at[dims.iq2].set(q.astype(dtype))
+    z = jnp.full((dims.nz,), 0.1, dtype)
+    z = z.at[dims.iq2].set(q.astype(dtype))
+    z = z.at[dims.ipsi1].set(1.0)
+    z = z.at[dims.is2].set(1.0)
+    return z

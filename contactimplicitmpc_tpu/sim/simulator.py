@@ -201,8 +201,8 @@ def simulate(
         w, dstate = dist_apply(dstate, qb, t)
 
         theta = pack_theta(qa, qb, u, w, mu, h)
-        z0 = z_initialize(dims, qb)
-        res = ip_solve(dims, r_fn, z0, theta, opts)
+        z0 = z_initialize(dims, qb, cone=env.cone)
+        res = ip_solve(dims, r_fn, z0, theta, opts, cone=env.cone)
 
         q2 = res.z[dims.iq2]
         gamma = res.z[dims.igamma1]

@@ -1,0 +1,91 @@
+"""Monte-Carlo robustness study: hopper MPC from randomized initial
+offsets — batched on one chip, shardable across a mesh.
+
+Mirror of ``/root/reference/examples/hopper/monte_carlo.jl`` (100 serial
+runs of 1000+ steps); here the whole study is ONE jitted, sharded program
+(SURVEY.md §2.10's north-star scaling axis).
+
+Run: python examples/hopper_monte_carlo.py [--runs 100] [--steps 1000]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--offset", type=float, default=0.05)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import hopper_2d as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1e-4, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 1.0e-4
+
+    # monte_carlo.jl:33-38 weights
+    qw = np.tile(1e-2 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    qw[-2:] = 1e-1 * np.array([0.1, 3, 1, 3])
+    vw = np.tile(1e-3 * np.array([0.1, 3, 1, 3]), (h_mpc, 1))
+    vw[:2] = 1e1 * np.array([0.1, 3, 1, 3])
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=qw, v=vw,
+        u=np.tile([3e-3, 1e0], (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, 1)),
+        b=1e-100 * np.ones((h_mpc, 2)), dtype=dtype)
+
+    sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                         undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    key = jax.random.PRNGKey(100)  # monte_carlo.jl:80 seed
+    offsets = args.offset * jax.random.uniform(
+        key, (args.runs, dims.nq), dtype, minval=-1.0, maxval=1.0)
+    q1s = (q1[None, :] + offsets).astype(dtype)
+    v1s = jnp.broadcast_to(v1, (args.runs, dims.nq)).astype(dtype)
+
+    fn = jax.jit(jax.vmap(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v, n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        sim_opts=sim_opts)))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1s, v1s))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1s, v1s))
+    wall = time.time() - t0
+
+    ok = np.asarray(jnp.all(out.sim_converged, axis=1))
+    alive = np.asarray(jnp.abs(out.q[:, -1, 1] - 0.5) < 0.5)
+    print(f"{args.runs} runs x {args.steps} steps in {wall:.1f}s "
+          f"({args.runs * args.steps / wall:.0f} sim steps/s)")
+    print(f"solver success rate: {ok.mean():.2f}   "
+          f"hopping at end: {alive.mean():.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Quadruped trotting on flat ground under contact-implicit MPC.
+
+Mirror of ``/root/reference/examples/quadruped/flat.jl`` — the headline
+demo: N_sample=5, H_mpc=10, κ=2e-4, velocity-tracking objective. Reports
+the policy speed ratio (≥1 ⇒ faster than real time) after a warm re-run,
+exactly like the reference's timing recipe (flat.jl:77-79).
+
+Run: python examples/quadruped_flat.py [--steps 1500] [--f64] [--gif out.gif]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_error, tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        default_mpc_ip_options
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+
+    # flat.jl:15-20 — calipso gait at μ = 0.35... the shipped regression
+    # gait (gait2) is used here so results compare with the CI thresholds
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 2.0e-4
+    h = float(ref.h)
+
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        q=np.tile(1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8),
+                  (h_mpc, 1)),
+        u=3e-3 * np.ones((h_mpc, dims.nu)),
+        v=1e-5 * np.ones((h_mpc, dims.nq)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v, n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        sim_opts=sim_opts))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    wall = time.time() - t0
+
+    h_sim = h / n_sample
+    speed_ratio = args.steps * h_sim / wall
+    qe, ue, ge, be = tracking_error(ref, out.q, out.u, out.gamma, out.b,
+                                    n_sample, idx_shift=(0,))
+    print(f"sim converged: {float(out.sim_converged.mean()):.3f}")
+    print(f"tracking: q={qe:.4f} u={ue:.4f} γ={ge:.4f} b={be:.4f}")
+    print(f"speed ratio: {speed_ratio:.2f}x real time "
+          f"({args.steps / wall:.0f} sim steps/s)")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(model, np.asarray(out.q), path=args.gif, every=10)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Fixed-iteration linearized IP vs the while-loop solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait
+from contactimplicitmpc_tpu.control.implicit_dynamics import \
+    default_mpc_ip_options
+from contactimplicitmpc_tpu.control.linearized import (
+    linearize_trajectory, linearized_residual_fns, make_schur_solver)
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.ops import linearized_ip_fixed
+from contactimplicitmpc_tpu.sim.interior_point import ip_solve
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1e-4)
+    lin = linearize_trajectory(model, env, ref, 1e-4)
+    return dims, ref, lin
+
+
+def test_fixed_matches_while_solver(setup):
+    dims, ref, lin = setup
+    opts = default_mpc_ip_options(1e-4, max_iter=30)
+    alt = jnp.zeros((dims.nc,))
+
+    for t in [0, 7, 31]:
+        theta = ref.theta[t].at[dims.iq1].add(0.01)  # perturb data
+        q2i = ref.q[t + 2]
+
+        res_fix = linearized_ip_fixed(
+            dims, lin.z0[t], lin.theta0[t], lin.r0[t], lin.rz0[t],
+            lin.rtheta0[t], alt, theta, q2i, opts, iters=20)
+        assert bool(res_fix.converged), (float(res_fix.rvio),
+                                         float(res_fix.kvio))
+
+        r_fn, rz_fn, rt_fn = linearized_residual_fns(
+            dims, lin.z0[t], lin.theta0[t], lin.r0[t], lin.rz0[t],
+            lin.rtheta0[t], alt)
+        z0 = jnp.ones((dims.nz,)).at[dims.iq2].set(q2i)
+        res_ref = ip_solve(dims, r_fn, z0, theta, opts,
+                           jacobian_fn=rz_fn, rtheta_fn=rt_fn,
+                           linear_solver=make_schur_solver(dims, lin.rz0[t],
+                                                           opts))
+        assert bool(res_ref.converged)
+        # both converge to the same root of the linearized NCP
+        np.testing.assert_allclose(np.asarray(res_fix.z[dims.iq2]),
+                                   np.asarray(res_ref.z[dims.iq2]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(res_fix.dz[dims.iq2]),
+                                   np.asarray(res_ref.dz[dims.iq2]),
+                                   atol=1e-3)
+
+
+def test_fixed_ip_batched(setup):
+    dims, ref, lin = setup
+    opts = default_mpc_ip_options(1e-4, max_iter=30)
+    alt = jnp.zeros((dims.nc,))
+    n = 10
+    f = jax.vmap(lambda z0, th0, r0, rz0, rt0, th, q2: linearized_ip_fixed(
+        dims, z0, th0, r0, rz0, rt0, alt, th, q2, opts, iters=15))
+    res = f(lin.z0[:n], lin.theta0[:n], lin.r0[:n], lin.rz0[:n],
+            lin.rtheta0[:n], ref.theta[:n], ref.q[2:n + 2])
+    assert bool(jnp.all(res.converged))

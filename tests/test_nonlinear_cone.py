@@ -1,0 +1,57 @@
+"""Nonlinear (second-order) friction cone: drop/slide physics.
+
+Reference coverage: flat_3D_nc / circular bowl environments
+(src/simulation/environments/flat.jl, quadratic.jl) with the SOC residual
+(simulation.jl:160-186).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.env import flat_2d_nc, flat_3d_nc
+from contactimplicitmpc_tpu.models.particle import Particle
+from contactimplicitmpc_tpu.models.particle_2d import Particle2D
+from contactimplicitmpc_tpu.ops.soc import soc_product, soc_step_length
+
+
+def test_soc_step_length_basic():
+    u = jnp.asarray([1.0, 0.0, 0.0])       # cone center
+    du = jnp.asarray([0.5, 0.0, 0.0])      # shrink along axis
+    a = soc_step_length(u, du, jnp.asarray(1.0))
+    assert float(a) == 1.0
+    du2 = jnp.asarray([2.0, 0.0, 0.0])     # would exit through apex
+    a2 = soc_step_length(u, du2, jnp.asarray(1.0))
+    assert abs(float(a2) - 0.5) < 1e-6
+    du3 = jnp.asarray([0.0, -2.0, 0.0])    # exit through the side
+    a3 = soc_step_length(u, du3, jnp.asarray(1.0))
+    assert abs(float(a3) - 0.5) < 1e-6
+
+
+def test_particle_3d_nc_drop_and_slide():
+    traj = jax.jit(lambda: ci.simulate(
+        Particle(), flat_3d_nc, 100, 0.01,
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.zeros(3)))()
+    assert bool(ci.status(traj))
+    np.testing.assert_allclose(np.asarray(traj.q[-1]), 0.0, atol=1e-6)
+
+    traj = jax.jit(lambda: ci.simulate(
+        Particle(), flat_3d_nc, 150, 0.01,
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 2.0, 0.0])))()
+    assert bool(ci.status(traj))
+    assert abs(float(traj.q[-1][2])) < 1e-6
+    v_end = (traj.q[-1] - traj.q[-2]) / 0.01
+    np.testing.assert_allclose(np.asarray(v_end), 0.0, atol=1e-5)
+    # isotropic cone: slide direction preserved (x:y = 1:2)
+    q_end = np.asarray(traj.q[-1])
+    assert abs(q_end[0] * 2.0 - q_end[1]) < 1e-3
+
+
+def test_particle_2d_nc_drop():
+    traj = jax.jit(lambda: ci.simulate(
+        Particle2D(), flat_2d_nc, 100, 0.01,
+        jnp.asarray([0.0, 1.0]), jnp.zeros(2)))()
+    assert bool(ci.status(traj))
+    np.testing.assert_allclose(np.asarray(traj.q[-1]), 0.0, atol=1e-6)
