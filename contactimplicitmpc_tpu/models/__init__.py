@@ -4,6 +4,11 @@ from .centroidal_quadruped import (CentroidalQuadruped,
                                    centroidal_quadruped,
                                    centroidal_quadruped_undamped,
                                    relative_state_cost)
+from .centroidal_quadruped_variants import (CentroidalQuadrupedBox,
+                                            CentroidalQuadrupedWall,
+                                            centroidal_quadruped_box,
+                                            centroidal_quadruped_wall,
+                                            centroidal_quadruped_wall_slanted)
 from .flamingo import Flamingo, flamingo
 from .hopper_2d import Hopper2D, hopper_2d
 from .hopper_3d import Hopper3D, hopper_3d
@@ -26,5 +31,8 @@ MODELS = {
     "walledcartpole": walledcartpole,
     "centroidal_quadruped": centroidal_quadruped,
     "centroidal_quadruped_undamped": centroidal_quadruped_undamped,
+    "centroidal_quadruped_box": centroidal_quadruped_box,
+    "centroidal_quadruped_wall": centroidal_quadruped_wall,
+    "centroidal_quadruped_wall_slanted": centroidal_quadruped_wall_slanted,
     "point_foot_quadruped": point_foot_quadruped,
 }

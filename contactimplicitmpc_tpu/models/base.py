@@ -102,6 +102,15 @@ class Model:
         jf = self.joint_friction_vector(jnp.result_type(vm2))
         return -h * jf * vm2
 
+    # ---- contact maps (overridable, like the reference's per-model
+    # contact_forces/velocity_stack methods, e.g.
+    # centroidal_quadruped_wall/model.jl:147-174) -------------------------
+    def contact_forces(self, env: "Environment", gamma1, b1, q2, k):
+        return _default_contact_forces(self, env, gamma1, b1, q2, k)
+
+    def velocity_stack(self, env: "Environment", q1, q2, k, h):
+        return _default_velocity_stack(self, env, q1, q2, k, h)
+
 
 def dims_of(model: Model, env: "Environment") -> Dims:
     return Dims(nq=model.nq, nu=model.nu, nw=model.nw, nc=model.nc,
@@ -148,8 +157,20 @@ def e_mapping(dims: Dims, dtype) -> jnp.ndarray:
 
 
 def contact_forces(model: Model, env: "Environment", gamma1, b1, q2, k):
-    """World-frame contact forces, shape (nc * ne,)
-    (contact_methods.jl:27-40)."""
+    """World-frame contact forces, shape (nc * ne,); dispatches to the
+    model's override when present (contact_methods.jl:27-40)."""
+    return model.contact_forces(env, gamma1, b1, q2, k)
+
+
+def velocity_stack(model: Model, env: "Environment", q1, q2, k, h):
+    """Tangential contact-velocity stack, shape (nb,); dispatches to the
+    model's override when present (contact_methods.jl:42-56)."""
+    return model.velocity_stack(env, q1, q2, k, h)
+
+
+def _default_contact_forces(model: Model, env: "Environment",
+                            gamma1, b1, q2, k):
+    """Rotate per-contact surface-frame forces into the world frame."""
     fm = env.friction_mapping(jnp.result_type(q2))
 
     def one(ki, bi, gi):
@@ -164,9 +185,8 @@ def contact_forces(model: Model, env: "Environment", gamma1, b1, q2, k):
     return jax.vmap(one)(k, nb_per, gamma1).reshape(-1)
 
 
-def velocity_stack(model: Model, env: "Environment", q1, q2, k, h):
-    """Tangential contact-velocity stack, shape (nb,)
-    (contact_methods.jl:42-56)."""
+def _default_velocity_stack(model: Model, env: "Environment", q1, q2, k, h):
+    """Surface-frame tangential velocities via the contact Jacobian."""
     h = jnp.reshape(jnp.asarray(h, jnp.result_type(q2)), ())
     v = model.contact_jacobian(q2) @ (q2 - q1) / h
     v = v.reshape(model.nc, env.dim)

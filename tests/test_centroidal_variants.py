@@ -1,0 +1,81 @@
+"""Box and wall centroidal-quadruped variants: contact-geometry sanity.
+
+Mirrors the reference's physics-sanity test style (test/simulator/*.jl):
+drop/settle assertions plus residual structure checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.models import (centroidal_quadruped_box,
+                                           centroidal_quadruped_wall,
+                                           centroidal_quadruped_wall_slanted)
+from contactimplicitmpc_tpu.models.base import dims_of
+
+
+def _stance_q(model, x0=0.0, z_feet=0.3, z_body=0.55, dtype=jnp.float64):
+    feet = np.array([
+        [x0 + 0.15, 0.1, z_feet],
+        [x0 + 0.15, -0.1, z_feet],
+        [x0 - 0.15, 0.1, z_feet],
+        [x0 - 0.15, -0.1, z_feet],
+    ])
+    q = np.concatenate([[x0, 0.0, z_body], np.zeros(3), feet.reshape(-1)])
+    return jnp.asarray(q, dtype)
+
+
+def test_box_phi_step():
+    """ϕ subtracts the tanh step elevation (box/model.jl:87-107)."""
+    model = centroidal_quadruped_box
+    env = ci.flat_3d_lc
+    q = _stance_q(model, x0=1.0, z_feet=0.0)
+    phi = model.phi(env, q)
+    # feet well past the step: gap = z − h_step
+    np.testing.assert_allclose(np.asarray(phi), -model.h_step, atol=1e-6)
+    q = _stance_q(model, x0=-1.0, z_feet=0.0)
+    np.testing.assert_allclose(np.asarray(model.phi(env, q)), 0.0, atol=1e-6)
+
+
+def test_box_feet_settle_on_step():
+    """Feet dropped above the box settle at the elevated surface."""
+    model = centroidal_quadruped_box
+    env = ci.flat_3d_lc
+    q1 = _stance_q(model, x0=1.0, z_feet=0.25, z_body=0.8)
+    v1 = jnp.zeros((18,), q1.dtype)
+    traj = jax.jit(lambda: ci.simulate(model, env, 40, 0.01, q1, v1))()
+    assert bool(ci.status(traj))
+    feet_z = np.asarray(traj.q[-1][8::3])
+    np.testing.assert_allclose(feet_z, model.h_step, atol=2e-3)
+
+
+def test_wall_dims_and_phi():
+    model = centroidal_quadruped_wall
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    assert (dims.nc, dims.nb) == (8, 32)
+    q = _stance_q(model, x0=0.0, z_feet=0.1)
+    phi = np.asarray(model.phi(env, q))
+    np.testing.assert_allclose(phi[:4], 0.1, atol=1e-6)
+    np.testing.assert_allclose(phi[4:], model.x_wall
+                               - np.asarray(q[6::3]), atol=1e-6)
+    assert model.contact_jacobian(q).shape == (24, 18)
+    # slanted instance = farther wall (model_slanted.jl:94)
+    assert centroidal_quadruped_wall_slanted.x_wall == 1.0
+
+
+def test_wall_contact_stops_feet():
+    """A foot sliding toward the wall is stopped at x = x_wall."""
+    model = centroidal_quadruped_wall
+    env = ci.flat_3d_lc
+    q1 = _stance_q(model, x0=0.0, z_feet=0.05, z_body=0.3)
+    # feet damping (joint_friction=10, mass 0.2) decays the slide with a
+    # ~0.02 s time constant, so launch fast enough to cover the 0.1 m gap
+    v1 = jnp.zeros((18,), q1.dtype).at[6::3].set(10.0)  # feet move +x
+    traj = jax.jit(lambda: ci.simulate(model, env, 30, 0.01, q1, v1))()
+    assert bool(ci.status(traj))
+    feet_x = np.asarray(traj.q[:, 6::3])
+    assert feet_x.max() <= model.x_wall + 1e-4
+    # the leading feet actually reached the wall
+    assert feet_x[-1].max() > model.x_wall - 0.02
