@@ -81,6 +81,7 @@ def ci_mpc_policy(
     n_opts: Optional[NewtonOptions] = None,
     ip_opts: Optional[IPOptions] = None,
     mpc_opts: CIMPCOptions = CIMPCOptions(),
+    stride_idx=(0,),
 ):
     """Build the (init_state, apply) pair consumed by ``simulate``
     (ci_mpc_policy, policy.jl:42-96).
@@ -89,6 +90,12 @@ def ci_mpc_policy(
     reference's default); ``"structure"`` uses the O(H) block-tridiagonal
     Riccati sweep (the reference's unfinished :structure mode, completed
     here — configuration mode only).
+
+    ``stride_idx``: configuration coordinates shifted by one gait period on
+    each receding-horizon wrap. Default matches get_stride (x only,
+    mpc_utils.jl:103-107); the hopper parkour example overrides with
+    ``(0, 1)`` to stride x *and* z up the stairs (examples/hopper/
+    parkour.jl:11-15).
     """
     dims = dims_of(model, env)
     nd = nd_of(dims, mode)
@@ -101,7 +108,9 @@ def ci_mpc_policy(
     # one-time linearization about every gait knot
     # (ImplicitTrajectory, implicit_dynamics.jl:21-90)
     lin = linearize_trajectory(model, env, ref_traj, kappa_mpc)
-    stride = get_stride(model, ref_traj)
+    stride = jnp.zeros((dims.nq,), dtype)
+    idxs = jnp.asarray(list(stride_idx), jnp.int32)
+    stride = stride.at[idxs].set(ref_traj.q[-2, idxs] - ref_traj.q[0, idxs])
     assembler = NewtonAssembler(dims, h_mpc, mode)
 
     if newton_mode == "structure":

@@ -1,0 +1,108 @@
+"""Walled cartpole: swing-up-adjacent stabilization where the pole tip can
+brace against compliant walls; scripted cart impulses perturb it.
+
+Mirror of ``/root/reference/examples/cartpole/cartpole.jl``: zero upright
+reference, N_sample=2, H_mpc=10, κ=2e-4, terminal-weighted velocity
+objective (cartpole.jl:45-50), five cart impulses (cartpole.jl:63-70).
+
+Run: python examples/cartpole_wall.py [--steps 1000] [--cpu] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION_FORCE, NewtonOptions, ci_mpc_policy,
+        contact_trajectory, tracking_velocity_objective, update_theta,
+        update_z)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        default_mpc_ip_options
+    from contactimplicitmpc_tpu.models import walledcartpole as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.sim.simulator import impulse_disturbances
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+
+    h = 0.04  # cartpole.jl:20
+    h_mpc, n_sample, kappa = 10, 2, 2.0e-4
+    ref = contact_trajectory(dims, 100, h, dtype=dtype)
+    ref = ref._replace(theta=ref.theta.at[:, dims.imu].set(model.mu_world))
+    ref = update_theta(dims, update_z(dims, ref))
+
+    # cartpole.jl:45-50 — running weights with a 10× terminal knot
+    q_w = np.tile([1e-1, 1e-3, 1e-8, 1e-8], (h_mpc, 1))
+    q_w[-1] = [1e-0, 1e-1, 1e-8, 1e-8]
+    v_w = np.tile([1e-0, 3e+1, 1e-8, 1e-8], (h_mpc, 1))
+    v_w[-1] = [3e-1, 1e-1, 1e-8, 1e-8]
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=q_w, v=v_w, u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa, mode=CONFIGURATION_FORCE,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=10),
+        ip_opts=default_mpc_ip_options(kappa, max_iter=30))
+
+    # cartpole.jl:63-70 — cart impulses
+    idx = np.array([20, 220, 370, 570, 720])
+    impulses = np.zeros((5, dims.nw))
+    impulses[:, 0] = [0.2, 0.2, -0.2, 0.2, 0.2]
+    dist = impulse_disturbances(jnp.asarray(impulses, dtype),
+                                jnp.asarray(idx))
+
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    q1 = jnp.zeros((4,), dtype)
+    v1 = jnp.zeros((4,), dtype)
+    h_sim = h / n_sample
+    fn = jax.jit(lambda q, v: ci.simulate(
+        model, env, args.steps, h_sim, q, v, policy=policy,
+        disturbances=dist, opts=sim_opts))
+
+    t0 = time.time()
+    traj = jax.block_until_ready(fn(q1, v1))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    traj = jax.block_until_ready(fn(q1, v1))
+    wall = time.time() - t0
+
+    ok = bool(ci.status(traj))
+    q = np.asarray(traj.q)
+    print(f"sim converged: {ok}")
+    print(f"max |cart x|: {np.abs(q[:, 0]).max():.3f} m; "
+          f"max |pole angle|: {np.abs(q[:, 1]).max():.3f} rad; "
+          f"final state: {q[-1].round(4)}")
+    print(f"speed ratio: {args.steps * h_sim / wall:.2f}x real time")
+    assert ok and abs(q[-1][1]) < 0.1, "cartpole stabilization failed"
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Flamingo 9-DoF biped walking on flat ground under contact-implicit MPC.
+
+Mirror of ``/root/reference/examples/flamingo/flat.jl``: gait_forward_36_4,
+N_sample=5, H_mpc=15, κ=2e-4, velocity-tracking objective (flat.jl:31-36).
+The reference threads the per-knot IP solves (flat.jl:52); here they are
+vmap-batched inside one jitted rollout.
+
+Run: python examples/flamingo_flat.py [--steps 1000] [--cpu] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_error, tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import flamingo as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"),
+                    dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 15, 2.0e-4
+    h = float(ref.h)
+
+    # flat.jl:31-36
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e0, 1, 1e4, 1, 1, 1, 1, 1e4, 1e4]),
+                  (h_mpc, 1)),
+        q=np.tile(1e-1 * np.array([3e2, 1e-6, 3e2, 1, 1, 1, 1, 0.1, 0.1]),
+                  (h_mpc, 1)),
+        u=np.tile(3e-1 * np.array([0.1, 0.1, 0.3, 0.3, 1.0, 1.0]),
+                  (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v, n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        sim_opts=sim_opts))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    wall = time.time() - t0
+
+    h_sim = h / n_sample
+    qe, ue, ge, be = tracking_error(ref, out.q, out.u, out.gamma, out.b,
+                                    n_sample, idx_shift=(0,))
+    print(f"sim converged: {float(out.sim_converged.mean()):.3f}")
+    print(f"tracking: q={qe:.4f} u={ue:.4f} γ={ge:.4f} b={be:.4f}")
+    print(f"walked {float(out.q[-1][0] - out.q[1][0]):.2f} m in "
+          f"{args.steps * h_sim:.1f} s")
+    print(f"speed ratio: {args.steps * h_sim / wall:.2f}x real time")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(model, np.asarray(out.q), path=args.gif, every=10)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

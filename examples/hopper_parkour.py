@@ -1,0 +1,104 @@
+"""Hopper parkour: climb a staircase by tracking a stair-hopping reference,
+with the MPC linearized about a *flat-ground* model and online altitude
+updates discovering each step height at impact.
+
+Mirror of ``/root/reference/examples/hopper/parkour.jl`` (stairs phase):
+hopper_stair_ref gait, N_sample=10, H_mpc=10, κ=2e-4,
+altitude_update=true with threshold 0.1 (parkour.jl:33-41), and the custom
+x+z stride (parkour.jl:11-15).
+
+Run: python examples/hopper_parkour.py [--cpu] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION_FORCE, CIMPCOptions, NewtonOptions, ci_mpc_policy,
+        from_gait, initial_conditions, tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        default_mpc_ip_options
+    from contactimplicitmpc_tpu.models import hopper_2d as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_2d_lc          # MPC model: flat ground + altitude offsets
+    sim_env = ci.ENVIRONMENTS["stairs3_2D_lc"]  # hard 4-step staircase
+    dims = dims_of(model, env)
+
+    ref = from_gait(model, env, load_gait("hopper_2D", "hopper_stair_ref"),
+                    dtype=dtype)
+    n_sample, h_mpc, kappa = 10, 10, 2.0e-4
+    h = float(ref.h)
+    h_sim_steps = 240 * n_sample
+
+    # parkour.jl:43-48: front-loaded q weights, light tail
+    q_w = np.concatenate([
+        np.tile(1e-0 * np.array([1e1, 1e-1, 1.0, 1.0]), (h_mpc - 5, 1)),
+        np.tile(1e-1 * np.array([1.0, 1e-1, 1e1, 0.1]), (5, 1))])
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e-2, 1, 1, 10]), (h_mpc, 1)),
+        q=q_w, u=np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa, mode=CONFIGURATION_FORCE,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa, max_iter=30),
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.1),
+        stride_idx=(0, 1))  # stride x AND z up the stairs (parkour.jl:11-15)
+
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: ci.simulate(
+        model, sim_env, h_sim_steps, h / n_sample, q, v, policy=policy,
+        opts=sim_opts))
+
+    t0 = time.time()
+    traj = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+
+    ok = float(jnp.mean(traj.converged))
+    x_final, z_final = float(traj.q[-1][0]), float(traj.q[-1][1])
+    print(f"sim converged: {ok:.3f}")
+    print(f"hopper reached x={x_final:.2f} m, z={z_final:.2f} m "
+          f"(staircase top: z=0.75 at x in [0.625, 0.875])")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(model, np.asarray(traj.q), path=args.gif, every=20)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()
