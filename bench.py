@@ -37,6 +37,10 @@ def main():
     use_f64 = os.environ.get("CIMPC_BENCH_F64", "0") == "1"
     if use_f64:
         jax.config.update("jax_enable_x64", True)
+    # TPU matmuls default to bfloat16 passes; the IP/Newton algebra needs
+    # true f32 (still MXU, 3-pass) or residuals floor at ~1e-2 and the
+    # solvers stop converging
+    jax.config.update("jax_default_matmul_precision", "highest")
     batch = int(os.environ.get("CIMPC_BENCH_BATCH", "128"))
     h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
     dtype = jnp.float64 if use_f64 else jnp.float32

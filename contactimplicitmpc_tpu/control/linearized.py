@@ -101,7 +101,7 @@ def make_schur_solver(dims: Dims, rz0, opts):
     224-304). On TPU this cuts the sequential factorization depth from
     nz to ny per iteration.
     """
-    import jax.scipy.linalg as jsl
+    from ..ops.linsolve import gj_inverse, pdot
 
     idyn, irst, ibil = dims.idyn, dims.irst, dims.ibil
     ix, iy1, iy2 = dims.ix, dims.iy1, dims.iy2
@@ -112,9 +112,9 @@ def make_schur_solver(dims: Dims, rz0, opts):
     ry1 = rz0[irst, iy1]
     ry2 = jnp.diagonal(rz0[irst, iy2])
 
-    dxi = jnp.linalg.inv(dx)
-    cai = rx @ dxi
-    caib = cai @ dy1
+    dxi = gj_inverse(dx)
+    cai = pdot(rx, dxi)
+    caib = pdot(cai, dy1)
 
     gamma_reg = opts.gamma_reg
 
@@ -124,17 +124,17 @@ def make_schur_solver(dims: Dims, rz0, opts):
         y1r = jnp.maximum(z[iy1], reg)
         y2r = jnp.maximum(z[iy2], reg)
         d = ry1 - jnp.diag(ry2 * y2r / y1r)
-        s_lu = jsl.lu_factor(d - caib)
-        return (s_lu, y1r, y2r)
+        si = gj_inverse(d - caib)
+        return (si, y1r, y2r)
 
     def solve(factors, rhs):
-        s_lu, y1r, y2r = factors
+        si, y1r, y2r = factors
         vec = rhs.ndim == 1
         r = rhs[:, None] if vec else rhs
         rdyn, rrst, rbil = r[idyn], r[irst], r[ibil]
         v = rrst - (ry2 / y1r)[:, None] * rbil
-        temp = jsl.lu_solve(s_lu, cai @ rdyn - v)
-        x = dxi @ (rdyn + dy1 @ temp)
+        temp = pdot(si, pdot(cai, rdyn) - v)
+        x = pdot(dxi, rdyn + pdot(dy1, temp))
         y = -temp
         dy2 = (rbil - y2r[:, None] * y) / y1r[:, None]
         out = jnp.concatenate([x, y, dy2], axis=0)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..dims import Dims
 from ..sim.interior_point import IPOptions, _step_length
+from .linsolve import gj_inverse, pdot
 
 
 class FixedIPResult(NamedTuple):
@@ -54,17 +55,17 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
     rx = rz0[irst, ix]
     ry1 = rz0[irst, iy1]
     ry2 = jnp.diagonal(rz0[irst, iy2])
-    dxi = jnp.linalg.inv(dx)
-    cai = rx @ dxi
-    caib = cai @ dy1
+    dxi = gj_inverse(dx)
+    cai = pdot(rx, dxi)
+    caib = pdot(cai, dy1)
 
     # affine residual pieces: r_affine(z) = base + rz0_affrows (z − z0)
     alt_full = jnp.zeros((dims.nz,), dtype).at[iimp].set(alt)
-    r_base = (r0 + rtheta0 @ (theta - theta0) + alt_full)[: nx + ny]
+    r_base = (r0 + pdot(rtheta0, theta - theta0) + alt_full)[: nx + ny]
     rz_aff = rz0[: nx + ny]
 
     def residual(z, kappa):
-        affine = r_base + rz_aff @ (z - z0_lin)
+        affine = r_base + pdot(rz_aff, z - z0_lin)
         bil = z[iy1] * z[iy2] - kappa
         return jnp.concatenate([affine, bil])
 
@@ -73,17 +74,17 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         y1r = jnp.maximum(z[iy1], reg)
         y2r = jnp.maximum(z[iy2], reg)
         s = ry1 - jnp.diag(ry2 * y2r / y1r) - caib
-        s_lu = jax.scipy.linalg.lu_factor(s)
-        return s_lu, y1r, y2r
+        si = gj_inverse(s)
+        return si, y1r, y2r
 
     def schur_solve(factors, rhs):
-        s_lu, y1r, y2r = factors
+        si, y1r, y2r = factors
         vec = rhs.ndim == 1
         r = rhs[:, None] if vec else rhs
         rdyn, rrst, rbil = r[idyn], r[irst], r[ibil]
         v = rrst - (ry2 / y1r)[:, None] * rbil
-        temp = jax.scipy.linalg.lu_solve(s_lu, cai @ rdyn - v)
-        x = dxi @ (rdyn + dy1 @ temp)
+        temp = pdot(si, pdot(cai, rdyn) - v)
+        x = pdot(dxi, rdyn + pdot(dy1, temp))
         y = -temp
         dy2 = (rbil - y2r[:, None] * y) / y1r[:, None]
         out = jnp.concatenate([x, y, dy2], axis=0)

@@ -1,0 +1,88 @@
+"""Small-matrix dense solvers tuned for TPU.
+
+XLA's pivoted LU (``lu_factor``/``jnp.linalg.solve``) lowers to a
+sequential row-swap loop with per-step gathers — pathological on TPU for
+the tiny systems this framework solves (nq ≈ 2–18, ny ≈ 3–48). These
+replacements use *unpivoted* elimination whose per-step work is pure
+elementwise/rank-1 arithmetic on the VPU, so a ``vmap`` over problems
+(batch lanes, horizon knots) vectorizes perfectly.
+
+Pivot-free is safe here by construction, mirroring the reference:
+
+* the cone Schur complement S is exactly the matrix the reference
+  factorizes with unpivoted modified Gram-Schmidt QR
+  (``src/solver/qr.jl:4-177`` via ``src/solver/schur.jl:13-110``);
+* the dynamics block Dx is mass-matrix dominated;
+* the horizon KKT is symmetric quasidefinite once the Newton solve adds
+  its ±β regularization (``newton.jl:280``), and SQD matrices are
+  strongly factorizable without pivoting (Vanderbei 1995).
+
+A tiny magnitude floor on the pivot (``boost``) guards exact zeros.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# TPU f32 matmuls default to bfloat16 passes; solver algebra needs the
+# full-precision path (3-pass f32 on the MXU) or unpivoted elimination
+# loses ~3 digits and the IP iterations stop converging.
+_P = jax.lax.Precision.HIGHEST
+
+
+def pdot(a, b):
+    """Full-precision matmul for solver algebra."""
+    return jnp.matmul(a, b, precision=_P)
+
+
+class GJFactors:
+    """Opaque factor handle: Gauss-Jordan stores the inverse explicitly."""
+
+    __slots__ = ("inv",)
+
+    def __init__(self, inv):
+        self.inv = inv
+
+
+def _boost_pivot(piv, boost):
+    mag = jnp.abs(piv)
+    sign = jnp.where(piv >= 0, 1.0, -1.0).astype(piv.dtype)
+    return jnp.where(mag < boost, sign * boost, piv)
+
+
+def gj_inverse(a, boost: float = 0.0, unroll: int = 8):
+    """Inverse by unpivoted Gauss-Jordan elimination.
+
+    ``fori_loop`` over n steps; each step is a rank-1 update of the
+    augmented (n, 2n) tableau — elementwise across any vmapped batch.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    boost = jnp.asarray(boost if boost else jnp.finfo(dtype).tiny, dtype)
+    ab = jnp.concatenate([a, jnp.eye(n, dtype=dtype)], axis=1)
+    rows = jnp.arange(n)
+
+    def step(k, ab):
+        piv = _boost_pivot(ab[k, k], boost)
+        row = ab[k] / piv
+        col = ab[:, k]
+        upd = ab - col[:, None] * row[None, :]
+        ab = jnp.where((rows == k)[:, None], row[None, :], upd)
+        return ab
+
+    ab = jax.lax.fori_loop(0, n, step, ab, unroll=min(unroll, n))
+    return ab[:, n:]
+
+
+def gj_factor(a, boost: float = 0.0) -> GJFactors:
+    return GJFactors(gj_inverse(a, boost))
+
+
+def gj_apply(factors: GJFactors, b):
+    return pdot(factors.inv, b)
+
+
+def gj_solve(a, b, boost: float = 0.0, unroll: int = 8):
+    """Solve ``a x = b`` (b may be a vector or a matrix of RHS)."""
+    return pdot(gj_inverse(a, boost, unroll=unroll), b)

@@ -117,6 +117,74 @@ def make_dense_solver(dims: Dims, jacobian_fn, opts: IPOptions,
     return factor, solve
 
 
+def make_ncp_schur_solver(dims: Dims, residual_fn, opts: IPOptions):
+    """Structure-exploiting backend for the *full* (nonlinear-residual)
+    linearized-cone NCP — the same elimination RZLin applies to the
+    pre-linearized MPC subproblem (linearized_solver.jl:424-444), valid
+    here because the LC residual rows (simulation.jl:133-158) give::
+
+        rz = [[Dx  Dy1  0      ]     x  = q2,  y1 = (γ1, b1, ψ1)
+              [Rx  Ry1  I      ]     y2 = (s1, η1, s2)
+              [0   D(y2) D(y1) ]]
+
+    Eliminate y2 diagonally, then x through Dx, leaving one ny×ny Schur
+    factorization per IP iteration. On TPU this cuts the sequential
+    factorization depth from nz to ny and replaces XLA's pivoted LU (a
+    gather-heavy sequential loop) with unpivoted Gauss-Jordan whose steps
+    are rank-1 VPU updates (see ops/linsolve.py for the stability
+    argument).
+
+    The Dx/Rx/Dy1/Ry1 blocks are the forward-mode Jacobian of the
+    equality rows in the (x, y1) directions only — 27 JVPs instead of 43
+    for the quadruped.
+    """
+    from ..ops.linsolve import gj_inverse, pdot
+
+    nx, ny = dims.nx, dims.ny
+    ix, iy1, iy2 = dims.ix, dims.iy1, dims.iy2
+    idyn, irst, ibil = dims.idyn, dims.irst, dims.ibil
+
+    def equality_rows(xy1, y2, theta):
+        z = jnp.concatenate([xy1, y2])
+        r = residual_fn(z, theta, jnp.zeros((), z.dtype))
+        return r[: nx + ny]
+
+    def factor(z, theta, kvio):
+        dtype = z.dtype
+        xy1 = z[: nx + ny]
+        y2 = z[iy2]
+        jac = jax.jacfwd(equality_rows)(xy1, y2, theta)  # (nx+ny, nx+ny)
+        dx = jac[:nx, :nx]
+        dy1 = jac[:nx, nx:]
+        rx = jac[nx:, :nx]
+        ry1 = jac[nx:, nx:]
+
+        reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
+        y1r = jnp.maximum(z[iy1], reg)
+        y2r = jnp.maximum(y2, reg)
+
+        dxi = gj_inverse(dx)
+        cai = pdot(rx, dxi)
+        caib = pdot(cai, dy1)
+        s = ry1 - jnp.diag(y2r / y1r) - caib
+        si = gj_inverse(s)
+        return (dxi, dy1, cai, si, y1r, y2r)
+
+    def solve(factors, rhs):
+        dxi, dy1, cai, si, y1r, y2r = factors
+        vec = rhs.ndim == 1
+        r = rhs[:, None] if vec else rhs
+        r1, r2, r3 = r[idyn], r[irst], r[ibil]
+        r2p = r2 - r3 / y1r[:, None]
+        dy1_sol = pdot(si, r2p - pdot(cai, r1))
+        dx_sol = pdot(dxi, r1 - pdot(dy1, dy1_sol))
+        dy2_sol = (r3 - y2r[:, None] * dy1_sol) / y1r[:, None]
+        out = jnp.concatenate([dx_sol, dy1_sol, dy2_sol], axis=0)
+        return out[:, 0] if vec else out
+
+    return factor, solve
+
+
 def _nc_tools(dims: Dims):
     """Cone-aware helpers for the nonlinear (second-order) cone layout."""
     from ..ops.soc import NCConeLayout, soc_product, soc_step_length
@@ -179,12 +247,15 @@ def ip_solve(
     iy1, iy2, ibil = dims.iy1, dims.iy2, dims.ibil
 
     if linear_solver is None:
-        # SOC bilinear rows have arrow-matrix Jacobians — keep the exact
-        # autodiff Jacobian for the nonlinear cone
-        lc_opts = opts if cone == "linearized" else \
-            dataclasses.replace(opts, gamma_reg=0.0)
-        linear_solver = make_dense_solver(dims, jacobian_fn, lc_opts,
-                                          clamp_bilinear=(cone == "linearized"))
+        if cone == "linearized":
+            # structured block elimination (TPU-friendly; ny-deep factor)
+            linear_solver = make_ncp_schur_solver(dims, residual_fn, opts)
+        else:
+            # SOC bilinear rows have arrow-matrix Jacobians — keep the
+            # exact autodiff Jacobian + dense LU for the nonlinear cone
+            nc_opts = dataclasses.replace(opts, gamma_reg=0.0)
+            linear_solver = make_dense_solver(dims, jacobian_fn, nc_opts,
+                                              clamp_bilinear=False)
     factor_fn, solve_fn = linear_solver
 
     if cone == "linearized":
