@@ -91,12 +91,14 @@ def main():
         CONFIGURATION
     from contactimplicitmpc_tpu.control.rollout import mpc_rollout
 
+    newton_mode = os.environ.get("CIMPC_BENCH_NEWTON", "direct")
+
     def rollout(q, v):
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
                            n_sample, kappa_mpc, CONFIGURATION, q, v,
                            n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
                            ip_opts=mpc_ip, sim_opts=sim_opts,
-                           warm_start_floor=1e-2)
+                           warm_start_floor=1e-2, newton_mode=newton_mode)
 
     fn = jax.jit(jax.vmap(rollout))
     t0 = time.time()

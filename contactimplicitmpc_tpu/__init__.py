@@ -8,6 +8,19 @@ interior-point physics simulation, and real-time contact-implicit MPC —
 batched, jit-compiled, and shardable across TPU meshes.
 """
 
+import os as _os
+
+import jax as _jax
+
+# TPU f32 matmuls default to bfloat16 passes (~8 mantissa bits). Every
+# number this library produces flows through interior-point residuals and
+# Newton steps whose convergence tests sit at 1e-3..1e-8 — bf16 passes
+# floor the residuals at ~1e-2 and silently break convergence. Force true
+# f32 (3-pass MXU) for the process; opt out with CIMPC_NO_PRECISION_FIX=1
+# and pass explicit `precision=` at your own call sites.
+if not _os.environ.get("CIMPC_NO_PRECISION_FIX"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .dims import Dims
 from .env import (ENVIRONMENTS, Environment, environment_2d,
                   environment_2d_flat, environment_3d, environment_3d_flat,

@@ -195,32 +195,16 @@ def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
                       n_sample, kappa_mpc, n_opts, ip_opts, mpc_opts):
     """Structure-mode CIMPC (reference newton_mode=:structure,
     policy.jl:78-84, completed)."""
-    import numpy as _np
-
-    from .objective import TrackingVelocityObjective
-    from .structure_solver import (build_structure_objective,
-                                   state_from_reference,
-                                   structure_newton_solve)
+    from .structure_solver import (state_from_reference,
+                                   structure_newton_solve,
+                                   structure_objective_from_tracking)
 
     h_ref = ref_traj.horizon
     dtype = ref_traj.q.dtype
     nq, nu = dims.nq, dims.nu
 
-    # map per-knot tracking weights to 1-based padded stage weights
-    # (quadratic_objective / update_objective!, methods.jl:591-628)
-    def pad_rows(w, rows):
-        w = jnp.asarray(w, dtype)
-        idx = _np.minimum(_np.arange(rows), w.shape[0] - 1)
-        out = w[jnp.asarray(idx)]
-        return jnp.concatenate([jnp.zeros((1, w.shape[1]), dtype), out])
-
-    q_w = pad_rows(obj.q, h_mpc)
-    v_w = (pad_rows(obj.v, h_mpc)
-           if isinstance(obj, TrackingVelocityObjective)
-           else jnp.zeros((h_mpc + 1, nq), dtype))
-    u_w = pad_rows(obj.u, h_mpc)
-    sobj = build_structure_objective(dims, q_w, v_w, u_w,
-                                     n_opts.beta_init, h_mpc, dtype)
+    sobj = structure_objective_from_tracking(dims, obj, n_opts.beta_init,
+                                             h_mpc, dtype)
 
     def init_state() -> CIMPCState:
         return CIMPCState(

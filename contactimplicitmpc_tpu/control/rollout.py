@@ -60,10 +60,16 @@ def mpc_rollout(
     ip_opts: Optional[IPOptions] = None,
     sim_opts: Optional[IPOptions] = None,
     warm_start_floor: float = 0.0,
+    newton_mode: str = "direct",
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
     ``horizon_sim`` must be a multiple of ``n_sample``.
+
+    ``newton_mode="structure"`` replaces the dense horizon-KKT solve with
+    the O(H) block-tridiagonal Riccati sweep (configuration mode;
+    structure_solver.py) — the dense KKT LU is the throughput ceiling at
+    large Monte-Carlo batches.
     """
     from .implicit_dynamics import default_mpc_ip_options
 
@@ -85,6 +91,17 @@ def mpc_rollout(
     stride = get_stride(model, ref_traj)
     assembler = NewtonAssembler(dims, h_mpc, mode)
     mu = jnp.asarray(model.mu_world, dtype)
+
+    structure = newton_mode == "structure"
+    if structure:
+        from .structure_solver import (state_from_reference,
+                                       structure_newton_solve,
+                                       structure_objective_from_tracking)
+        sobj = structure_objective_from_tracking(dims, obj,
+                                                 n_opts.beta_init,
+                                                 h_mpc, dtype)
+    elif newton_mode != "direct":
+        raise ValueError(f"invalid newton_mode {newton_mode!r}")
 
     def slice_h(traj):
         return ContactTraj(h=traj.h, kappa=traj.kappa,
@@ -131,23 +148,45 @@ def mpc_rollout(
         warm = t > 0
 
         ref_window = slice_h(ref_rot)
-        lin_w = gather(lin, window)
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(warm, x, y), a, b)
-        traj0 = sel(newton_traj, ref_window)
-        nu0 = jnp.where(warm, nu, jnp.zeros_like(nu))
 
-        # newton sees configurations one control period (= gait step h)
-        # apart: (q at previous update, current q) — policy.jl:117-132
-        result = newton_solve(dims, mode, assembler, obj, lin_w, ref_window,
-                              traj0, nu0, q_ctrl_prev, qb_sim,
-                              jnp.zeros((dims.nc,), dtype), ip_opts, n_opts)
-        u = result.traj.u[0]
+        if structure:
+            lin_w = gather(lin, window[:h_mpc - 1])
+            q_ref = ref_window.q[:h_mpc + 1]
+            u_ref = ref_window.u[:h_mpc - 1]
+            st0 = state_from_reference(q_ref, u_ref, dims, h_mpc, dtype)
+            nq = dims.nq
+            st0 = st0._replace(
+                nu1=jnp.where(warm, nu[:, :nq], jnp.zeros((h_mpc, nq), dtype)),
+                nu2=jnp.where(warm, nu[:, nq:], jnp.zeros((h_mpc, nq), dtype)))
+            result = structure_newton_solve(
+                dims, sobj, lin_w, q_ref, u_ref,
+                ref_window.theta[:h_mpc - 1], q_ctrl_prev, qb_sim, st0,
+                jnp.zeros((dims.nc,), dtype), ip_opts, n_opts, h_mpc)
+            u = result.state.u[1]
+            nu_next = jnp.concatenate([result.state.nu1, result.state.nu2],
+                                      axis=1)
+            traj_next = newton_traj  # unused carry slot in structure mode
+        else:
+            lin_w = gather(lin, window)
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(warm, x, y), a, b)
+            traj0 = sel(newton_traj, ref_window)
+            nu0 = jnp.where(warm, nu, jnp.zeros_like(nu))
+
+            # newton sees configurations one control period (= gait step h)
+            # apart: (q at previous update, current q) — policy.jl:117-132
+            result = newton_solve(dims, mode, assembler, obj, lin_w,
+                                  ref_window, traj0, nu0, q_ctrl_prev,
+                                  qb_sim, jnp.zeros((dims.nc,), dtype),
+                                  ip_opts, n_opts)
+            u = result.traj.u[0]
+            nu_next = result.nu
+            traj_next = result.traj
 
         qa, qb, zp, ys = sim_substeps(qa_sim, qb_sim, u, z_prev)
 
-        carry = (rot_n_stride(dims, ref_rot, stride), result.traj,
-                 result.nu, (window + 1) % h_ref, qb_sim, qa, qb, zp)
+        carry = (rot_n_stride(dims, ref_rot, stride), traj_next,
+                 nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp)
         return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
                        result.r_norm)
 
@@ -155,8 +194,9 @@ def mpc_rollout(
     q0 = q1 - h_sim * jnp.asarray(v1, dtype)
     # the MPC's previous-control-period configuration starts at the gait's
     # q[0] (policy.jl:101-102: p.q0 = ref_traj.q[1])
+    nu_width = 2 * dims.nq if structure else nd
     carry0 = (ref_traj, slice_h(ref_traj),
-              jnp.zeros((h_mpc, nd), dtype),
+              jnp.zeros((h_mpc, nu_width), dtype),
               jnp.arange(h_mpc, dtype=jnp.int32),
               ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype))
     carry0 = unify_varying(carry0)

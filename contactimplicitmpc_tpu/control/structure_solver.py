@@ -256,6 +256,30 @@ def structure_kkt_solve(dims: Dims, obj: StructureObjective, aa, ab, ba,
 # Full structure-mode Newton solve (methods.jl:640-882)
 # ---------------------------------------------------------------------------
 
+def structure_objective_from_tracking(dims: Dims, obj, beta: float,
+                                      horizon: int,
+                                      dtype) -> "StructureObjective":
+    """Map per-knot tracking weights to 1-based padded stage weights
+    (quadratic_objective / update_objective!, methods.jl:591-628)."""
+    import numpy as _np
+
+    from .objective import TrackingVelocityObjective
+
+    def pad_rows(w, rows):
+        w = jnp.asarray(w, dtype)
+        idx = _np.minimum(_np.arange(rows), w.shape[0] - 1)
+        return jnp.concatenate(
+            [jnp.zeros((1, w.shape[1]), dtype), w[jnp.asarray(idx)]])
+
+    q_w = pad_rows(obj.q, horizon)
+    v_w = (pad_rows(obj.v, horizon)
+           if isinstance(obj, TrackingVelocityObjective)
+           else jnp.zeros((horizon + 1, dims.nq), dtype))
+    u_w = pad_rows(obj.u, horizon)
+    return build_structure_objective(dims, q_w, v_w, u_w, beta, horizon,
+                                     dtype)
+
+
 class StructureState(NamedTuple):
     """1-based padded stage trajectories (methods.jl:29-45)."""
 
