@@ -10,7 +10,8 @@ implicit dynamics). Baseline: the reference paper's 100 Hz-class laptop
 rate (= 100 solves/s, BASELINE.md).
 
 Prints ONE JSON line on stdout. Environment knobs:
-CIMPC_BENCH_BATCH (default 128), CIMPC_BENCH_STEPS (default 250),
+CIMPC_BENCH_BATCH (default 256), CIMPC_BENCH_STEPS (default 250),
+CIMPC_BENCH_NEWTON (default "structure"),
 CIMPC_BENCH_F64 (default 0: float32 on TPU).
 """
 
@@ -41,7 +42,7 @@ def main():
     # true f32 (still MXU, 3-pass) or residuals floor at ~1e-2 and the
     # solvers stop converging
     jax.config.update("jax_default_matmul_precision", "highest")
-    batch = int(os.environ.get("CIMPC_BENCH_BATCH", "128"))
+    batch = int(os.environ.get("CIMPC_BENCH_BATCH", "256"))
     h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
     dtype = jnp.float64 if use_f64 else jnp.float32
 
@@ -91,7 +92,9 @@ def main():
         CONFIGURATION
     from contactimplicitmpc_tpu.control.rollout import mpc_rollout
 
-    newton_mode = os.environ.get("CIMPC_BENCH_NEWTON", "direct")
+    # structure = O(H) Riccati horizon solve — ~1.8x the dense-KKT direct
+    # mode at Monte-Carlo batch sizes, same tracking error
+    newton_mode = os.environ.get("CIMPC_BENCH_NEWTON", "structure")
 
     def rollout(q, v):
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
