@@ -86,3 +86,44 @@ def gj_apply(factors: GJFactors, b):
 def gj_solve(a, b, boost: float = 0.0, unroll: int = 8):
     """Solve ``a x = b`` (b may be a vector or a matrix of RHS)."""
     return pdot(gj_inverse(a, boost, unroll=unroll), b)
+
+
+def mgs_qr(a):
+    """Modified Gram-Schmidt QR — the reference's SDMGS factorization
+    (``src/solver/qr.jl:62-118``), the inner factorization of its Schur
+    complement (``src/solver/schur.jl``). Returns (Q, R) with Q (n, n)
+    orthonormal columns, R (n, n) upper triangular.
+
+    n sequential steps of elementwise column updates — vmap-friendly like
+    Gauss-Jordan, with better conditioning (orthogonal eliminations) at
+    ~2x the flops. Use where the Schur complement is ill-conditioned.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    cols = jnp.arange(n)
+
+    def step(j, carry):
+        q, r = carry
+        v = q[:, j]
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        nrm = jnp.maximum(nrm, jnp.finfo(dtype).tiny)
+        qj = v / nrm
+        # project qj out of the remaining columns (MGS, qr.jl:84-96)
+        proj = pdot(qj, q)                       # (n,) row of inner products
+        mask = (cols > j).astype(dtype)
+        q = q - jnp.outer(qj, proj * mask)
+        q = q.at[:, j].set(qj)
+        r = r.at[j].set(jnp.where(cols == j, nrm, proj * mask))
+        return q, r
+
+    q0 = a
+    r0 = jnp.zeros((n, n), dtype)
+    q, r = jax.lax.fori_loop(0, n, step, (q0, r0), unroll=min(8, n))
+    return q, r
+
+
+def mgs_solve(a, b):
+    """Solve via MGS QR: x = R⁻¹ Qᵀ b (qr_solve!, qr.jl:24-39)."""
+    q, r = mgs_qr(a)
+    qtb = pdot(q.T, b)
+    return jax.scipy.linalg.solve_triangular(r, qtb, lower=False)

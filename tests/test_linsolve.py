@@ -1,0 +1,61 @@
+"""TPU-friendly small dense solvers vs numpy oracles (the reference tests
+its QR/LU/Schur the same way: random matrices vs `\\`,
+test/solver/{qr,lu,schur}.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contactimplicitmpc_tpu.ops.linsolve import (gj_inverse, gj_solve,
+                                                 mgs_qr, mgs_solve)
+
+
+def _rand_spd_ish(key, n, batch=None):
+    shape = (batch, n, n) if batch else (n, n)
+    a = jax.random.normal(key, shape)
+    return a + 3.0 * jnp.eye(n)
+
+
+def test_gj_inverse_oracle():
+    a = _rand_spd_ish(jax.random.PRNGKey(0), 16)
+    inv = gj_inverse(a)
+    np.testing.assert_allclose(np.asarray(inv @ a), np.eye(16), atol=1e-8)
+
+
+def test_gj_solve_multi_rhs():
+    key = jax.random.PRNGKey(1)
+    a = _rand_spd_ish(key, 24)
+    b = jax.random.normal(jax.random.PRNGKey(2), (24, 5))
+    x = gj_solve(a, b)
+    np.testing.assert_allclose(np.asarray(a @ x), np.asarray(b), atol=1e-8)
+
+
+def test_gj_vmap_batch():
+    a = _rand_spd_ish(jax.random.PRNGKey(3), 11, batch=32)
+    b = jax.random.normal(jax.random.PRNGKey(4), (32, 11))
+    x = jax.vmap(gj_solve)(a, b)
+    res = jnp.einsum("bij,bj->bi", a, x) - b
+    assert float(jnp.max(jnp.abs(res))) < 1e-8
+
+
+def test_mgs_qr_oracle():
+    """Q orthonormal, R upper triangular, QR = A (test/solver/qr.jl)."""
+    a = jax.random.normal(jax.random.PRNGKey(5), (16, 16))
+    q, r = mgs_qr(a)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(16), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r), np.triu(np.asarray(r)))
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(a), atol=1e-9)
+
+
+def test_mgs_solve_oracle():
+    a = jax.random.normal(jax.random.PRNGKey(6), (20, 20))
+    b = jax.random.normal(jax.random.PRNGKey(7), (20,))
+    x = mgs_solve(a, b)
+    np.testing.assert_allclose(np.asarray(a @ x), np.asarray(b), atol=1e-8)
+
+
+def test_gj_pivot_boost_zero_diagonal():
+    """A zero pivot is floored, not propagated as NaN."""
+    a = jnp.eye(4).at[0, 0].set(0.0).at[0, 1].set(1.0).at[1, 0].set(1.0)
+    x = gj_solve(a, jnp.ones((4,)), boost=1e-12)
+    assert bool(jnp.all(jnp.isfinite(x)))
