@@ -1,0 +1,307 @@
+"""Fused Pallas TPU kernel for the batched pre-linearized interior-point
+knot solve — the innermost op of the 100 Hz MPC path (the H per-knot
+solves re-run on every Newton iteration and line-search trial,
+``/root/reference/src/controller/implicit_dynamics.jl:156-192``).
+
+The reference parallelizes these solves with ``Threads.@threads`` and
+refactorizes a small Schur complement per IP iteration through unpivoted
+QR (``src/controller/linearized_solver.jl:378-444``, ``src/solver/qr.jl``).
+Here the *entire* fixed-iteration Mehrotra solve for a tile of 128 problem
+instances runs as ONE kernel: every state, factor, and candidate step
+lives in VMEM for all iterations, eliminating the per-op dispatch latency
+and HBM round-trips that dominate the XLA while-loop formulation of the
+same math (``ops/fixed_ip.py``, which remains the numerical oracle — see
+tests/test_pallas_ip.py).
+
+Data layout: feature-major, lane-minor — each tensor carries the 128
+problem instances of a tile in the last (lane) dimension, so every
+matrix-vector product is a feature-axis reduction on the VPU and every
+Gauss-Jordan/bilinear update is rank-1 elementwise work. The per-instance
+constant blocks (Dx⁻¹, Rx Dx⁻¹, Rx Dx⁻¹ Dy1 — RZLin's cached products,
+linearized_solver.jl:224-304) are precomputed outside the kernel once per
+linearization point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dims import Dims
+from ..sim.interior_point import IPOptions
+
+LANES = 128
+
+
+class PallasIPResult(NamedTuple):
+    z: jnp.ndarray          # (N, nz)
+    converged: jnp.ndarray  # (N,)
+    rvio: jnp.ndarray       # (N,)
+    kvio: jnp.ndarray       # (N,)
+
+
+def _step_length_lanes(y, dy, tau):
+    """Fraction-to-boundary α per lane; y/dy are (f, L)."""
+    big = jnp.asarray(jnp.finfo(y.dtype).max, y.dtype)
+    pos = dy > 0
+    ratio = jnp.where(pos, tau * y / jnp.where(pos, dy, 1.0), big)
+    return jnp.minimum(1.0, jnp.min(ratio, axis=0))  # (L,)
+
+
+def _gj_inverse_lanes(a):
+    """Per-lane unpivoted Gauss-Jordan inverse of (n, n, L)."""
+    n = a.shape[0]
+    dtype = a.dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None],
+                           (n, n, a.shape[2]))
+    ab = jnp.concatenate([a, eye], axis=1)  # (n, 2n, L)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def step(k, ab):
+        piv = ab[k, k, :]
+        mag = jnp.abs(piv)
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        sign = jnp.where(piv >= 0, 1.0, -1.0).astype(dtype)
+        piv = jnp.where(mag < tiny, sign * tiny, piv)
+        row = ab[k] / piv[None, :]              # (2n, L)
+        col = ab[:, k, :]                        # (n, L)
+        upd = ab - col[:, None, :] * row[None, :, :]
+        return jnp.where(rows == k, row[None, :, :], upd)
+
+    ab = jax.lax.fori_loop(0, n, step, ab, unroll=True)
+    return ab[:, n:, :]
+
+
+def _matvec(m, v):
+    """(r, c, L) × (c, L) → (r, L) feature-axis contraction."""
+    return jnp.sum(m * v[None, :, :], axis=1)
+
+
+def _ip_kernel(dims: Dims, opts: IPOptions, iters: int,
+               z0_ref, rbase_ref, rzaff_ref, dxi_ref, dy1_ref, cai_ref,
+               caib_ref, ry1_ref, ry2_ref, zinit_ref,
+               z_out, conv_out, rvio_out, kvio_out):
+    nx, ny = dims.nx, dims.ny
+    ne = nx + ny
+    dtype = z0_ref.dtype
+    kappa_floor = opts.kappa_tol / opts.undercut
+    n_ls = opts.max_ls + 1
+
+    z0 = z0_ref[:]           # (nz, L) linearization point
+    rbase = rbase_ref[:]     # (ne, L)
+    rzaff = rzaff_ref[:]     # (ne, nz, L)
+    dxi = dxi_ref[:]         # (nx, nx, L)
+    dy1 = dy1_ref[:]         # (nx, ny, L)
+    cai = cai_ref[:]         # (ny, nx, L)
+    caib = caib_ref[:]       # (ny, ny, L)
+    ry1 = ry1_ref[:]         # (ny, ny, L)
+    ry2 = ry2_ref[:]         # (ny, L) diag of the rst y2-block
+
+    eye_ny = jnp.eye(ny, dtype=dtype)[:, :, None]
+
+    def residual(z, kappa):
+        r_eq = rbase + _matvec(rzaff, z - z0)            # (ne, L)
+        y1 = z[nx:nx + ny]
+        y2 = z[nx + ny:]
+        r_bil = y1 * y2 - kappa[None, :]                 # (ny, L)
+        return r_eq, r_bil
+
+    def violations(r_eq, r_bil):
+        return (jnp.max(jnp.abs(r_eq), axis=0),
+                jnp.max(jnp.abs(r_bil), axis=0))         # (L,), (L,)
+
+    def schur_solve(si, y1r, y2r, r_eq, r_bil):
+        """Solve the eliminated system for one RHS (RZLin solve,
+        linearized_solver.jl:424-444)."""
+        r1 = r_eq[:nx]                                   # (nx, L)
+        r2 = r_eq[nx:]                                   # (ny, L)
+        v = r2 - (ry2 / y1r) * r_bil
+        temp = _matvec(si, _matvec(cai, r1) - v)         # (ny, L)
+        dx = _matvec(dxi, r1 + _matvec(dy1, temp))
+        dy = -temp
+        dy2 = (r_bil - y2r * dy) / y1r
+        return jnp.concatenate([dx, dy, dy2], axis=0)    # (nz, L)
+
+    z_init = zinit_ref[:]
+    done0 = jnp.zeros((z0.shape[1],), jnp.bool_)
+
+    def body(_, carry):
+        z, done = carry
+        y1 = z[nx:nx + ny]
+        y2 = z[nx + ny:]
+        kz = jnp.zeros((z.shape[1],), dtype)
+        r_eq0, r_bil0 = residual(z, kz)
+        rvio, kvio = violations(r_eq0, r_bil0)
+        done_now = (rvio <= opts.r_tol) & (kvio <= opts.kappa_tol)
+
+        # regularized factorization (rzlin!, linearized_solver.jl:378-399)
+        reg = opts.gamma_reg * kvio[None, :]
+        y1r = jnp.maximum(y1, reg)
+        y2r = jnp.maximum(y2, reg)
+        s = ry1 - eye_ny * (ry2 * y2r / y1r)[:, None, :] - caib
+        si = _gj_inverse_lanes(s)
+
+        d_aff = schur_solve(si, y1r, y2r, r_eq0, r_bil0)
+        one = jnp.ones((z.shape[1],), dtype)
+        a_aff = jnp.minimum(
+            _step_length_lanes(y1, d_aff[nx:nx + ny], one),
+            _step_length_lanes(y2, d_aff[nx + ny:], one))
+
+        mu = jnp.sum(y1 * y2, axis=0) / ny
+        y1a = y1 - a_aff[None, :] * d_aff[nx:nx + ny]
+        y2a = y2 - a_aff[None, :] * d_aff[nx + ny:]
+        mu_aff = jnp.sum(y1a * y2a, axis=0) / ny
+        sigma = jnp.clip(mu_aff / jnp.maximum(mu, jnp.finfo(dtype).tiny),
+                         0.0, 1.0) ** 3
+        kappa_t = jnp.maximum(sigma * mu, kappa_floor)
+
+        r_eq_c, r_bil_c = residual(z, kappa_t)
+        r_bil_cor = r_bil_c + d_aff[nx:nx + ny] * d_aff[nx + ny:]
+        d_cor = schur_solve(si, y1r, y2r, r_eq_c, r_bil_cor)
+        d_cen = schur_solve(si, y1r, y2r, r_eq_c, r_bil_c)
+
+        tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
+                       opts.tau_min, opts.tau_max)
+        a_cor = jnp.minimum(
+            _step_length_lanes(y1, d_cor[nx:nx + ny], tau),
+            _step_length_lanes(y2, d_cor[nx + ny:], tau))
+        a_cen = jnp.minimum(
+            _step_length_lanes(y1, d_cen[nx:nx + ny], tau),
+            _step_length_lanes(y2, d_cen[nx + ny:], tau))
+
+        merit0 = (jnp.sum(r_eq_c * r_eq_c, axis=0)
+                  + jnp.sum(r_bil_c * r_bil_c, axis=0))
+
+        # batched two-direction backtracking line search (ops/fixed_ip.py)
+        best_merit = jnp.full_like(merit0, jnp.finfo(dtype).max)
+        best_z = z
+        found = jnp.zeros_like(done0)
+        for d, a0 in ((d_cor, a_cor), (d_cen, a_cen)):
+            for i in range(n_ls):
+                a = a0 * (0.5 ** i)
+                z_try = z - a[None, :] * d
+                re, rb = residual(z_try, kappa_t)
+                m = jnp.sum(re * re, axis=0) + jnp.sum(rb * rb, axis=0)
+                ok = m < (1.0 - 1.0e-3 * a) * merit0
+                # first passing candidate wins; min-merit as fallback
+                take_pass = ok & jnp.logical_not(found)
+                take_min = jnp.logical_not(found) & (m < best_merit)
+                take = take_pass | take_min
+                best_z = jnp.where(take[None, :], z_try, best_z)
+                best_merit = jnp.where(take, m, best_merit)
+                found = found | ok
+
+        frozen = done | done_now
+        z_new = jnp.where(frozen[None, :], z, best_z)
+        return z_new, frozen
+
+    z, done = jax.lax.fori_loop(0, iters, body, (z_init, done0))
+    r_eq, r_bil = residual(z, jnp.zeros((z.shape[1],), dtype))
+    rvio, kvio = violations(r_eq, r_bil)
+
+    z_out[:] = z
+    conv_out[:] = ((rvio <= opts.r_tol)
+                   & (kvio <= opts.kappa_tol)).astype(jnp.int32)[None, :]
+    rvio_out[:] = rvio[None, :]
+    kvio_out[:] = kvio[None, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 9, 10, 11))
+def linearized_ip_fixed_pallas(dims: Dims, z0_lin, theta0, r0, rz0,
+                               rtheta0, alt, theta, q2_init,
+                               opts: IPOptions,
+                               iters: int = 10,
+                               interpret: bool = False) -> PallasIPResult:
+    """Batched fixed-iteration linearized IP solve, fused on TPU.
+
+    All array arguments carry a leading batch axis N (batch × knots,
+    flattened by the caller); semantics match ``vmap(linearized_ip_fixed)``
+    over the same inputs, minus the sensitivity solve (do that outside
+    with the returned z — it is one multi-RHS solve per instance).
+    """
+    n = z0_lin.shape[0]
+    nx, ny, nz = dims.nx, dims.ny, dims.nz
+    ne = nx + ny
+    dtype = z0_lin.dtype
+
+    ix, iy1, iy2 = dims.ix, dims.iy1, dims.iy2
+    idyn, irst = dims.idyn, dims.irst
+    iimp = dims.iimp
+
+    # --- per-instance constant blocks (RZLin precompute) ----------------
+    from .linsolve import gj_inverse
+
+    dx = rz0[:, idyn, ix]
+    dy1 = rz0[:, idyn, iy1]
+    rx = rz0[:, irst, ix]
+    ry1 = rz0[:, irst, iy1]
+    ry2 = jnp.diagonal(rz0[:, irst, iy2], axis1=1, axis2=2)
+    dxi = jax.vmap(gj_inverse)(dx)
+    cai = jnp.einsum("bij,bjk->bik", rx, dxi)
+    caib = jnp.einsum("bij,bjk->bik", cai, dy1)
+
+    alt_full = jnp.zeros((n, nz), dtype).at[:, iimp].set(alt)
+    r_base = (r0 + jnp.einsum("bij,bj->bi", rtheta0, theta - theta0)
+              + alt_full)[:, :ne]
+    rz_aff = rz0[:, :ne, :]
+    z_init = jnp.ones((n, nz), dtype).at[:, dims.iq2].set(q2_init)
+
+    # --- lane-minor tiling ----------------------------------------------
+    n_pad = (-n) % LANES
+    npad = n + n_pad
+
+    def tile(x):
+        """(N, f...) → (tiles, f..., LANES)"""
+        x = jnp.pad(x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1))
+        x = jnp.moveaxis(x.reshape(npad // LANES, LANES, *x.shape[1:]),
+                         1, -1)
+        return x
+
+    args = tuple(map(tile, (z0_lin, r_base, rz_aff, dxi, dy1, cai, caib,
+                            ry1, ry2, z_init)))
+    n_tiles = npad // LANES
+
+    kernel = functools.partial(_ip_kernel, dims, opts, iters)
+
+    def in_spec(a):
+        nd = a.ndim - 1
+        return pl.BlockSpec((None, *a.shape[1:]),
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def out_spec(f):
+        return pl.BlockSpec((None, f, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[in_spec(a) for a in args],
+        out_specs=[out_spec(nz), out_spec(1), out_spec(1), out_spec(1)],
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_tiles, nz, LANES), dtype),
+        jax.ShapeDtypeStruct((n_tiles, 1, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 1, LANES), dtype),
+        jax.ShapeDtypeStruct((n_tiles, 1, LANES), dtype),
+    ]
+    z_t, conv_t, rvio_t, kvio_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+
+    def untile(x):
+        x = jnp.moveaxis(x, -1, 1).reshape(npad, *x.shape[1:-1])
+        return x[:n]
+
+    return PallasIPResult(z=untile(z_t),
+                          converged=untile(conv_t)[:, 0].astype(bool),
+                          rvio=untile(rvio_t)[:, 0],
+                          kvio=untile(kvio_t)[:, 0])

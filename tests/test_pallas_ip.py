@@ -1,0 +1,83 @@
+"""Fused Pallas linearized-IP kernel vs the ops/fixed_ip.py oracle.
+
+Runs the kernel in interpret mode on CPU (same numerics path the TPU
+lowering executes); compares converged solutions on real gait knots."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait, linearize_trajectory
+from contactimplicitmpc_tpu.models import quadruped
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.ops.fixed_ip import linearized_ip_fixed
+from contactimplicitmpc_tpu.ops.pallas_ip import linearized_ip_fixed_pallas
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def knot_batch():
+    model, env = quadruped, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    kappa = 2.0e-4
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=jnp.float32)
+    lin = linearize_trajectory(model, env, ref, kappa)
+    n = ref.horizon
+    # perturb θ away from the linearization point (a warm MPC knot)
+    key = jax.random.PRNGKey(0)
+    theta = ref.theta + 0.003 * jax.random.normal(key, ref.theta.shape,
+                                                  jnp.float32)
+    alt = jnp.zeros((n, dims.nc), jnp.float32)
+    q2 = ref.q[2:]
+    return dims, lin, theta, alt, q2, kappa
+
+
+def test_pallas_ip_matches_oracle(knot_batch):
+    dims, lin, theta, alt, q2, kappa = knot_batch
+    opts = IPOptions(r_tol=1e-5, kappa_tol=kappa, max_iter=16,
+                     undercut=5.0, gamma_reg=0.1, max_ls=3)
+
+    oracle = jax.vmap(
+        lambda z0, th0, r0, rz0, rt0, a, th, q:
+        linearized_ip_fixed(dims, z0, th0, r0, rz0, rt0, a, th, q, opts,
+                            iters=16))(
+        lin.z0, lin.theta0, lin.r0, lin.rz0, lin.rtheta0, alt, theta, q2)
+
+    out = linearized_ip_fixed_pallas(
+        dims, lin.z0, lin.theta0, lin.r0, lin.rz0, lin.rtheta0, alt,
+        theta, q2, opts, 16, True)
+
+    assert bool(jnp.all(out.converged)), (
+        np.asarray(out.rvio), np.asarray(out.kvio))
+    assert bool(jnp.all(oracle.converged))
+    # both converged to the same tolerance on the same subproblem —
+    # solutions agree to solver tolerance
+    err = float(jnp.max(jnp.abs(out.z - oracle.z)))
+    assert err < 5e-3, err
+    # the configuration block (what the MPC consumes) agrees tightly
+    err_q = float(jnp.max(jnp.abs(out.z[:, dims.iq2] - oracle.z[:, dims.iq2])))
+    assert err_q < 1e-3, err_q
+
+
+def test_pallas_ip_padding():
+    """N not a multiple of 128 pads and unpads correctly."""
+    model, env = quadruped, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    kappa = 2.0e-4
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=jnp.float32)
+    lin = linearize_trajectory(model, env, ref, kappa)
+    opts = IPOptions(r_tol=1e-5, kappa_tol=kappa, max_iter=10,
+                     undercut=5.0, gamma_reg=0.1, max_ls=3)
+    k = 3  # far from 128
+    sl = lambda x: x[:k]
+    out = linearized_ip_fixed_pallas(
+        dims, sl(lin.z0), sl(lin.theta0), sl(lin.r0), sl(lin.rz0),
+        sl(lin.rtheta0), jnp.zeros((k, dims.nc), jnp.float32),
+        sl(ref.theta), sl(ref.q[2:]), opts, 10, True)
+    assert out.z.shape == (k, dims.nz)
+    assert bool(jnp.all(out.converged))
