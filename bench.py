@@ -4,14 +4,22 @@ flat-ground quadruped at the paper's horizon (H_mpc=10, N_sample=5).
 
 Matches the reference's timing recipe (examples/quadruped/flat.jl:77-79:
 policy speed ratio after a warm re-run) recast for TPU: a batch of
-closed-loop rollouts runs as one jitted program; every control step inside
-is one complete CIMPC solve (warm-started horizon Newton over re-solved
-implicit dynamics). Baseline: the reference paper's 100 Hz-class laptop
-rate (= 100 solves/s, BASELINE.md).
+closed-loop rollouts runs as one jitted, mesh-sharded program; every
+control step inside is one complete CIMPC solve (warm-started horizon
+Newton over re-solved implicit dynamics). Baseline: the reference paper's
+100 Hz-class laptop rate (= 100 solves/s, BASELINE.md).
+
+Scaling report: the batch shards over ALL visible devices via shard_map
+on a (dp, kn) mesh (ICI psum for sweep statistics); stderr carries
+solves/s, solves/s/chip, and health over the FULL batch. Run with
+CIMPC_BENCH_PLATFORM=cpu + XLA_FLAGS=--xla_force_host_platform_device_count=8
+for the virtual multi-chip measurement.
 
 Prints ONE JSON line on stdout. Environment knobs:
 CIMPC_BENCH_BATCH (default 256), CIMPC_BENCH_STEPS (default 250),
 CIMPC_BENCH_NEWTON (default "structure"),
+CIMPC_BENCH_FIXED_ITERS (default 0: adaptive while-loop knot solves;
+>0: deterministic fixed-iteration solves),
 CIMPC_BENCH_F64 (default 0: float32 on TPU).
 """
 
@@ -42,20 +50,30 @@ def main():
     # true f32 (still MXU, 3-pass) or residuals floor at ~1e-2 and the
     # solvers stop converging
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: repeat runs skip the ~2 min XLA compile
+    cache_dir = os.environ.get("CIMPC_COMPILE_CACHE",
+                               "/tmp/cimpc_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     batch = int(os.environ.get("CIMPC_BENCH_BATCH", "256"))
     h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
+    fixed_iters = int(os.environ.get("CIMPC_BENCH_FIXED_ITERS", "0"))
     dtype = jnp.float64 if use_f64 else jnp.float32
 
     import contactimplicitmpc_tpu as ci
     from contactimplicitmpc_tpu.control import (
-        NewtonOptions, from_gait, initial_conditions, tracking_error,
-        tracking_objective)
+        NewtonOptions, from_gait, initial_conditions, tracking_objective)
     from contactimplicitmpc_tpu.models import quadruped as model
     from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.parallel import (make_mesh,
+                                                 sharded_mpc_rollouts)
     from contactimplicitmpc_tpu.sim.interior_point import IPOptions
     from contactimplicitmpc_tpu.utils.gaits import load_gait
 
-    log(f"devices: {jax.devices()}  dtype: {dtype.__name__}")
+    devices = jax.devices()
+    n_dev = len(devices)
+    log(f"devices: {devices}  dtype: {dtype.__name__}")
     env = ci.flat_2d_lc
     dims = dims_of(model, env)
     ref = from_gait(model, env, load_gait("quadruped", "gait2"),
@@ -71,16 +89,19 @@ def main():
         gamma=1e-100 * np.ones((h_mpc, dims.nc)),
         b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
 
-    # float32-feasible tolerances (reference Float64 values in BASELINE.md;
-    # f32 closed-loop tracking error matches f64 at these settings)
+    # float32-feasible tolerances (reference Float64 values in BASELINE.md);
+    # one iterative-refinement pass per solve recovers the f32 accuracy
+    # the structured factorization loses (IPOptions.refine)
     sim_opts = IPOptions(r_tol=(1e-8 if use_f64 else 1e-3),
                          kappa_tol=(1e-8 if use_f64 else 1e-5),
                          max_iter=(100 if use_f64 else 40),
                          undercut=float("inf"),
-                         max_ls=(25 if use_f64 else 6))
+                         max_ls=(25 if use_f64 else 6),
+                         refine=(0 if use_f64 else 1))
     mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
                        kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
-                       gamma_reg=0.1, diff_sol=True, max_ls=3)
+                       gamma_reg=0.1, diff_sol=True, max_ls=3,
+                       refine=(0 if use_f64 else 1))
 
     q1, v1 = initial_conditions(ref)
     key = jax.random.PRNGKey(0)
@@ -99,31 +120,52 @@ def main():
     def rollout(q, v):
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
                            n_sample, kappa_mpc, CONFIGURATION, q, v,
-                           n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+                           n_opts=NewtonOptions(r_tol=3e-4, max_iter=5,
+                                                fixed_ip_iters=fixed_iters),
                            ip_opts=mpc_ip, sim_opts=sim_opts,
                            warm_start_floor=1e-2, newton_mode=newton_mode)
 
-    fn = jax.jit(jax.vmap(rollout))
+    mesh = make_mesh(n_dev)
+    assert batch % n_dev == 0, (batch, n_dev)
+
+    def run(q, v):
+        return sharded_mpc_rollouts(mesh, rollout, ref, n_sample, q, v)
+
     t0 = time.time()
-    traj = jax.block_until_ready(fn(q1s, v1s))
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    traj, stats = run(q1s, v1s)
+    jax.block_until_ready(stats)
+    log(f"compile+first run: {time.time() - t0:.1f}s "
+        f"(cache: {cache_dir})")
 
     # warm timing
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        traj = jax.block_until_ready(fn(q1s, v1s))
+        traj, stats = run(q1s, v1s)
+        jax.block_until_ready(stats)
     dt = (time.time() - t0) / reps
 
     n_solves = batch * (h_sim_steps // n_sample)
     solves_per_s = n_solves / dt
+    per_chip = solves_per_s / n_dev
+    # one solve covers one control period = h seconds of simulated time
+    speed_ratio = solves_per_s * h / batch
 
-    ok = float(jnp.mean(jnp.all(traj.sim_converged, axis=1)))
-    qe, ue, _, _ = tracking_error(
-        ref, traj.q[0], traj.u[0], traj.gamma[0], traj.b[0], n_sample,
-        idx_shift=(0,))
-    log(f"rollout health: success_rate={ok:.3f} q_err={qe:.4f} "
-        f"u_err={ue:.4f} wall={dt:.2f}s batch={batch} steps={h_sim_steps}")
+    log(f"mesh: {mesh.devices.shape} axes={mesh.axis_names} "
+        f"n_devices={n_dev}")
+    log(f"rollout health (full batch {int(float(stats.n_rollouts))}): "
+        f"success_rate={float(stats.success_rate):.3f} "
+        f"q_err={float(stats.q_err):.4f} u_err={float(stats.u_err):.4f} "
+        f"gamma_err={float(stats.gamma_err):.3f} "
+        f"b_err={float(stats.b_err):.4f}")
+    log(f"observability: newton_iters/ctrl={float(stats.mean_newton_iters):.2f} "
+        f"ip_iters/sim_step={float(stats.mean_sim_iters):.2f} "
+        f"newton_r_norm={float(stats.mean_r_norm):.2e}")
+    log(f"throughput: {solves_per_s:.1f} solves/s total, "
+        f"{per_chip:.1f} solves/s/chip over {n_dev} chip(s); "
+        f"per-rollout speed ratio {speed_ratio:.2f}x realtime; "
+        f"wall={dt:.2f}s batch={batch} steps={h_sim_steps} "
+        f"newton={newton_mode} fixed_iters={fixed_iters}")
 
     print(json.dumps({
         "metric": "cimpc_solves_per_s",

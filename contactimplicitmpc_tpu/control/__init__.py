@@ -11,5 +11,6 @@ from .objective import (TrackingObjective, TrackingVelocityObjective,
 from .policy import CIMPCOptions, CIMPCState, ci_mpc_policy
 from .trajectory import (ContactTraj, contact_trajectory, from_gait,
                          get_stride, initial_conditions, repeat_traj,
-                         rot_n_stride, tracking_error, update_theta,
+                         rot_n_stride, tracking_error, tracking_errors,
+                         update_theta,
                          update_z)

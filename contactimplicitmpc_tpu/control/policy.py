@@ -191,26 +191,45 @@ def ci_mpc_policy(
     return init_state, apply
 
 
+class StructureCIMPCState(NamedTuple):
+    """Structure-mode policy state: like CIMPCState but the warm start is
+    the full previous ``StructureState`` (primal stages + duals)."""
+
+    ref_traj: ContactTraj
+    warm: "jax.Array"          # pytree: StructureState of the last solve
+    window: jnp.ndarray
+    q0: jnp.ndarray
+    cnt: jnp.ndarray
+    u: jnp.ndarray
+    altitude: jnp.ndarray
+    gamma_buf: jnp.ndarray
+    q_buf: jnp.ndarray
+
+
 def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
                       n_sample, kappa_mpc, n_opts, ip_opts, mpc_opts):
     """Structure-mode CIMPC (reference newton_mode=:structure,
-    policy.jl:78-84, completed)."""
+    policy.jl:78-84, completed) with full warm starting and the altitude
+    update (mpc_utils.jl:109-135) — parity with the direct-mode path."""
     from .structure_solver import (state_from_reference,
                                    structure_newton_solve,
                                    structure_objective_from_tracking)
 
     h_ref = ref_traj.horizon
     dtype = ref_traj.q.dtype
-    nq, nu = dims.nq, dims.nu
 
     sobj = structure_objective_from_tracking(dims, obj, n_opts.beta_init,
                                              h_mpc, dtype)
 
-    def init_state() -> CIMPCState:
-        return CIMPCState(
+    def st_ref_of(ref_window):
+        return state_from_reference(ref_window.q[:h_mpc + 1],
+                                    ref_window.u[:h_mpc - 1],
+                                    dims, h_mpc, dtype)
+
+    def init_state() -> StructureCIMPCState:
+        return StructureCIMPCState(
             ref_traj=ref_traj,
-            newton_traj=_slice_horizon(ref_traj, h_mpc),
-            nu=jnp.zeros((h_mpc, 2 * nq), dtype),
+            warm=st_ref_of(_slice_horizon(ref_traj, h_mpc)),
             window=jnp.arange(h_mpc, dtype=jnp.int32),
             q0=ref_traj.q[0],
             cnt=jnp.asarray(n_sample, jnp.int32),
@@ -220,33 +239,49 @@ def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
             q_buf=jnp.zeros((n_sample, dims.nq), dtype),
         )
 
-    def control_update(state: CIMPCState, obs: PolicyObs) -> CIMPCState:
+    def update_altitude(state) -> jnp.ndarray:
+        idx = jnp.argmax(state.gamma_buf, axis=0)
+        gamma_max = jnp.max(state.gamma_buf, axis=0)
+        q_at = state.q_buf[idx]
+        phi_i = jnp.diagonal(
+            jax.vmap(lambda q: model.phi(env, q))(q_at))
+        return jnp.where(gamma_max > mpc_opts.altitude_impact_threshold,
+                         phi_i, state.altitude)
+
+    def control_update(state: StructureCIMPCState,
+                       obs: PolicyObs) -> StructureCIMPCState:
         warm = obs.t > 0
+        alt = state.altitude
+        if mpc_opts.altitude_update:
+            alt = jnp.where(warm, update_altitude(state), alt)
+
         ref_window = _slice_horizon(state.ref_traj, h_mpc)
         lin_w = gather(lin, state.window[:h_mpc - 1])
 
         q_ref = ref_window.q[:h_mpc + 1]
         u_ref = ref_window.u[:h_mpc - 1]
         theta_template = ref_window.theta[:h_mpc - 1]
-        st0 = state_from_reference(q_ref, u_ref, dims, h_mpc, dtype)
-        nu1 = jnp.where(warm, state.nu[:, :nq], jnp.zeros((h_mpc, nq), dtype))
-        nu2 = jnp.where(warm, state.nu[:, nq:], jnp.zeros((h_mpc, nq), dtype))
-        st0 = st0._replace(nu1=nu1, nu2=nu2)
+        # full warm start: previous primal stages AND duals when warm
+        # (reset!/warm_start semantics, newton.jl:130-167)
+        st0 = jax.tree_util.tree_map(
+            lambda x, y: jnp.where(warm, x, y),
+            state.warm, st_ref_of(ref_window))
 
         result = structure_newton_solve(
             dims, sobj, lin_w, q_ref, u_ref, theta_template,
-            state.q0, obs.q1, st0, state.altitude, ip_opts, n_opts, h_mpc)
+            state.q0, obs.q1, st0, alt, ip_opts, n_opts, h_mpc)
 
         return state._replace(
             ref_traj=rot_n_stride(dims, state.ref_traj, stride),
-            nu=jnp.concatenate([result.state.nu1, result.state.nu2], axis=1),
+            warm=result.state,
             window=(state.window + 1) % h_ref,
             q0=obs.q1,
             cnt=jnp.zeros((), jnp.int32),
             u=result.state.u[1],
+            altitude=alt,
         )
 
-    def apply(state: CIMPCState, obs: PolicyObs):
+    def apply(state: StructureCIMPCState, obs: PolicyObs):
         state = state._replace(
             gamma_buf=jnp.roll(state.gamma_buf, -1, axis=0)
             .at[-1].set(obs.gamma),

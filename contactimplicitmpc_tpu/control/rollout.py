@@ -42,6 +42,11 @@ class MPCRollout(NamedTuple):
     b: jnp.ndarray          # (T, nb)
     sim_converged: jnp.ndarray   # (T,)
     mpc_r_norm: jnp.ndarray      # (T/N_sample,) final Newton residuals
+    # observability (print_status parity, newton.jl:290-301 +
+    # SimulatorStatistics): per-control-step Newton iterations and
+    # per-sim-step interior-point iterations — free extra scan outputs
+    newton_iterations: jnp.ndarray  # (T/N_sample,)
+    sim_iterations: jnp.ndarray     # (T,)
 
 
 def mpc_rollout(
@@ -61,6 +66,8 @@ def mpc_rollout(
     sim_opts: Optional[IPOptions] = None,
     warm_start_floor: float = 0.0,
     newton_mode: str = "direct",
+    mpc_opts=None,
+    stride_idx=(0,),
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -72,6 +79,7 @@ def mpc_rollout(
     large Monte-Carlo batches.
     """
     from .implicit_dynamics import default_mpc_ip_options
+    from .policy import CIMPCOptions
 
     assert horizon_sim % n_sample == 0
     n_ctrl = horizon_sim // n_sample
@@ -86,9 +94,15 @@ def mpc_rollout(
     sim_opts = sim_opts or IPOptions(r_tol=1e-8, kappa_tol=1e-8,
                                      max_iter=100, undercut=float("inf"),
                                      max_ls=6)
+    mpc_opts = mpc_opts or CIMPCOptions()
 
     lin = linearize_trajectory(model, env, ref_traj, kappa_mpc)
-    stride = get_stride(model, ref_traj)
+    if tuple(stride_idx) == (0,):
+        stride = get_stride(model, ref_traj)
+    else:
+        idxs = jnp.asarray(list(stride_idx), jnp.int32)
+        stride = jnp.zeros((dims.nq,), dtype).at[idxs].set(
+            ref_traj.q[-2, idxs] - ref_traj.q[0, idxs])
     assembler = NewtonAssembler(dims, h_mpc, mode)
     mu = jnp.asarray(model.mu_world, dtype)
 
@@ -136,72 +150,97 @@ def mpc_rollout(
             res = ip_solve(dims, r_fn, z0, theta, sim_opts)
             q2 = res.z[dims.iq2]
             return (qb, q2, res.z), (q2, res.z[dims.igamma1],
-                                     res.z[dims.ib1], res.converged)
+                                     res.z[dims.ib1], res.converged,
+                                     res.iterations)
 
         (qa, qb, zp), ys = jax.lax.scan(step, (q0, q1, z_prev), None,
                                         length=n_sample)
         return qa, qb, zp, ys
 
+    def update_altitude(alt, gamma_prev, q_prev, warm):
+        """Terrain-height discovery from the last control period's contact
+        impulses (update_altitude!, mpc_utils.jl:109-135)."""
+        idx = jnp.argmax(gamma_prev, axis=0)             # (nc,)
+        gamma_max = jnp.max(gamma_prev, axis=0)
+        q_at = q_prev[idx]                               # (nc, nq)
+        phi_i = jnp.diagonal(
+            jax.vmap(lambda q: model.phi(env, q))(q_at))
+        alt_new = jnp.where(
+            gamma_max > mpc_opts.altitude_impact_threshold, phi_i, alt)
+        return jnp.where(warm, alt_new, alt)
+
     def control_period(carry, t):
-        (ref_rot, newton_traj, nu, window, q_ctrl_prev, qa_sim,
-         qb_sim, z_prev) = carry
+        (ref_rot, warm_state, nu, window, q_ctrl_prev, qa_sim,
+         qb_sim, z_prev, alt, gamma_prev, q_prev) = carry
         warm = t > 0
+        if mpc_opts.altitude_update:
+            alt = update_altitude(alt, gamma_prev, q_prev, warm)
 
         ref_window = slice_h(ref_rot)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(warm, x, y), a, b)
 
         if structure:
             lin_w = gather(lin, window[:h_mpc - 1])
             q_ref = ref_window.q[:h_mpc + 1]
             u_ref = ref_window.u[:h_mpc - 1]
-            st0 = state_from_reference(q_ref, u_ref, dims, h_mpc, dtype)
-            nq = dims.nq
-            st0 = st0._replace(
-                nu1=jnp.where(warm, nu[:, :nq], jnp.zeros((h_mpc, nq), dtype)),
-                nu2=jnp.where(warm, nu[:, nq:], jnp.zeros((h_mpc, nq), dtype)))
+            # full warm start: reuse the previous solve's primal stages and
+            # duals (reset!/warm_start semantics, newton.jl:130-167);
+            # measured q0/q1 are pinned inside structure_newton_solve
+            st0 = sel(warm_state,
+                      state_from_reference(q_ref, u_ref, dims, h_mpc, dtype))
             result = structure_newton_solve(
                 dims, sobj, lin_w, q_ref, u_ref,
                 ref_window.theta[:h_mpc - 1], q_ctrl_prev, qb_sim, st0,
-                jnp.zeros((dims.nc,), dtype), ip_opts, n_opts, h_mpc)
+                alt, ip_opts, n_opts, h_mpc)
             u = result.state.u[1]
-            nu_next = jnp.concatenate([result.state.nu1, result.state.nu2],
-                                      axis=1)
-            traj_next = newton_traj  # unused carry slot in structure mode
+            nu_next = nu  # unused carry slot in structure mode
+            warm_next = result.state
         else:
             lin_w = gather(lin, window)
-            sel = lambda a, b: jax.tree_util.tree_map(
-                lambda x, y: jnp.where(warm, x, y), a, b)
-            traj0 = sel(newton_traj, ref_window)
+            traj0 = sel(warm_state, ref_window)
             nu0 = jnp.where(warm, nu, jnp.zeros_like(nu))
 
             # newton sees configurations one control period (= gait step h)
             # apart: (q at previous update, current q) — policy.jl:117-132
             result = newton_solve(dims, mode, assembler, obj, lin_w,
                                   ref_window, traj0, nu0, q_ctrl_prev,
-                                  qb_sim, jnp.zeros((dims.nc,), dtype),
-                                  ip_opts, n_opts)
+                                  qb_sim, alt, ip_opts, n_opts)
             u = result.traj.u[0]
             nu_next = result.nu
-            traj_next = result.traj
+            warm_next = result.traj
 
         qa, qb, zp, ys = sim_substeps(qa_sim, qb_sim, u, z_prev)
+        qs_period, gammas_period = ys[0], ys[1]
 
-        carry = (rot_n_stride(dims, ref_rot, stride), traj_next,
-                 nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp)
+        carry = (rot_n_stride(dims, ref_rot, stride), warm_next,
+                 nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp,
+                 alt, gammas_period, qs_period)
         return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
-                       result.r_norm)
+                       result.r_norm, result.iterations)
 
     q1 = jnp.asarray(q1, dtype)
     q0 = q1 - h_sim * jnp.asarray(v1, dtype)
     # the MPC's previous-control-period configuration starts at the gait's
     # q[0] (policy.jl:101-102: p.q0 = ref_traj.q[1])
-    nu_width = 2 * dims.nq if structure else nd
-    carry0 = (ref_traj, slice_h(ref_traj),
-              jnp.zeros((h_mpc, nu_width), dtype),
+    if structure:
+        ref_w = slice_h(ref_traj)
+        warm0 = state_from_reference(ref_w.q[:h_mpc + 1],
+                                     ref_w.u[:h_mpc - 1], dims, h_mpc,
+                                     dtype)
+        nu0 = jnp.zeros((0,), dtype)  # unused in structure mode
+    else:
+        warm0 = slice_h(ref_traj)
+        nu0 = jnp.zeros((h_mpc, nd), dtype)
+    carry0 = (ref_traj, warm0, nu0,
               jnp.arange(h_mpc, dtype=jnp.int32),
-              ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype))
+              ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype),
+              jnp.zeros((dims.nc,), dtype),
+              jnp.zeros((n_sample, dims.nc), dtype),
+              jnp.zeros((n_sample, dims.nq), dtype))
     carry0 = unify_varying(carry0)
-    _, ((qs, gammas, bs, conv), us, r_norms) = jax.lax.scan(
-        control_period, carry0, jnp.arange(n_ctrl))
+    _, ((qs, gammas, bs, conv, sim_iters), us, r_norms, n_iters) = \
+        jax.lax.scan(control_period, carry0, jnp.arange(n_ctrl))
 
     qs = qs.reshape(horizon_sim, dims.nq)
     q_full = jnp.concatenate([q0[None], q1[None], qs], axis=0)
@@ -209,4 +248,6 @@ def mpc_rollout(
                       gamma=gammas.reshape(horizon_sim, dims.nc),
                       b=bs.reshape(horizon_sim, dims.nb),
                       sim_converged=conv.reshape(horizon_sim),
-                      mpc_r_norm=r_norms)
+                      mpc_r_norm=r_norms,
+                      newton_iterations=n_iters,
+                      sim_iterations=sim_iters.reshape(horizon_sim))

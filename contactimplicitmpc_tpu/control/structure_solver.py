@@ -163,8 +163,9 @@ def block_tridiag_cholesky(yii, yij):
         lji = jax.scipy.linalg.solve_triangular(lii, yij_t, lower=True)
         return lji, (lii, lji)
 
-    _, (lii, lji) = jax.lax.scan(step, jnp.zeros((n, n), yii.dtype),
-                                 (yii, yij_pad))
+    # carry seeded from a constant must match the sharded xs' varying axes
+    init = unify_varying((jnp.zeros((n, n), yii.dtype), yii))[0]
+    _, (lii, lji) = jax.lax.scan(step, init, (yii, yij_pad))
     return lii, lji[:-1]
 
 
@@ -179,7 +180,8 @@ def block_tridiag_solve(lii, lji, beta):
             lii_t, b_t - jnp.swapaxes(lji_tm1, 0, 1) @ y_prev, lower=True)
         return y_t, y_t
 
-    _, y = jax.lax.scan(fwd, jnp.zeros_like(beta[0]),
+    _, y = jax.lax.scan(fwd, unify_varying((jnp.zeros_like(beta[0]),
+                                            beta))[0],
                         (lii, lji_pad, beta))
 
     lji_pad2 = jnp.concatenate([lji, jnp.zeros_like(lji[:1])], axis=0)
@@ -190,7 +192,8 @@ def block_tridiag_solve(lii, lji, beta):
             lii_t, y_t - lji_t @ x_next, lower=True, trans="T")
         return x_t, x_t
 
-    _, x = jax.lax.scan(bwd, jnp.zeros_like(beta[0]),
+    _, x = jax.lax.scan(bwd, unify_varying((jnp.zeros_like(beta[0]),
+                                            beta))[0],
                         (lii, lji_pad2, y), reverse=True)
     return x
 
@@ -304,7 +307,8 @@ def state_from_reference(q_ref, u_ref, dims: Dims, horizon: int,
 
 
 def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
-                     theta_template, alt, opts: IPOptions, horizon: int):
+                     theta_template, alt, opts: IPOptions, horizon: int,
+                     fixed_iters: int = 0):
     """Per-stage linearized IP solves at (qa_t, qb_t, u_t), t = 1..H-1
     (methods.jl:683-704). ``lin`` must hold H-1 knots (window order);
     ``theta_template`` (H-1, nθ) supplies the w/μ/h slots.
@@ -312,6 +316,10 @@ def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
     Returns (d, aa, ab, ba, converged) as 1-based padded stacks, where
     ``d[t]`` is the solved configuration z*_{q2} and aa/ab/ba are
     ∂z*q2/∂(q0, q1, u).
+
+    ``fixed_iters > 0`` switches the per-knot solver to the deterministic
+    fixed-iteration path (ops/fixed_ip.py) — masked ``fori_loop`` instead
+    of a batched ``while_loop``, so converged lanes never gate the batch.
     """
     h = horizon
     th = theta_template
@@ -321,14 +329,22 @@ def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
 
     from .linearized import linearized_residual_fns, make_schur_solver
 
-    def solve_knot(lz0, lth0, lr0, lrz0, lrt0, qinit, theta):
-        r_fn, rz_fn, rt_fn = linearized_residual_fns(
-            dims, lz0, lth0, lr0, lrz0, lrt0, alt)
-        z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(qinit)
-        from ..sim.interior_point import ip_solve
-        return ip_solve(dims, r_fn, z0, theta, opts,
-                        jacobian_fn=rz_fn, rtheta_fn=rt_fn,
-                        linear_solver=make_schur_solver(dims, lrz0, opts))
+    if fixed_iters > 0:
+        from ..ops.fixed_ip import linearized_ip_fixed
+
+        def solve_knot(lz0, lth0, lr0, lrz0, lrt0, qinit, theta):
+            return linearized_ip_fixed(dims, lz0, lth0, lr0, lrz0, lrt0,
+                                       alt, theta, qinit, opts,
+                                       iters=fixed_iters)
+    else:
+        def solve_knot(lz0, lth0, lr0, lrz0, lrt0, qinit, theta):
+            r_fn, rz_fn, rt_fn = linearized_residual_fns(
+                dims, lz0, lth0, lr0, lrz0, lrt0, alt)
+            z0 = jnp.ones((dims.nz,), theta.dtype).at[dims.iq2].set(qinit)
+            from ..sim.interior_point import ip_solve
+            return ip_solve(dims, r_fn, z0, theta, opts,
+                            jacobian_fn=rz_fn, rtheta_fn=rt_fn,
+                            linear_solver=make_schur_solver(dims, lrz0, opts))
 
     res = jax.vmap(solve_knot)(lin.z0, lin.theta0, lin.r0, lin.rz0,
                                lin.rtheta0, state.qb[1:h], th)
@@ -411,7 +427,8 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
 
     def residual_of(st):
         d, aa, ab, ba, _ = _implicit_stages(dims, lin, st, theta_template,
-                                            alt, ip_opts, h)
+                                            alt, ip_opts, h,
+                                            fixed_iters=opts.fixed_ip_iters)
         parts = structure_residuals(dims, sobj, st, q_ref, u_ref,
                                     d, aa, ab, ba, h)
         return parts, (aa, ab, ba)

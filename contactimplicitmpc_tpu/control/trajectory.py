@@ -165,10 +165,15 @@ def initial_conditions(traj: ContactTraj):
     return q1, v1
 
 
-def tracking_error(ref: ContactTraj, sim_q, sim_u, sim_gamma, sim_b,
-                   n_sample: int, idx_shift=()):
+def tracking_errors(ref: ContactTraj, sim_q, sim_u, sim_gamma, sim_b,
+                    n_sample: int, idx_shift=()):
     """Per-knot average L1 tracking errors vs the tiled reference
-    (trajectory.jl:188-217). ``sim_*`` come from a SimTrajectory."""
+    (trajectory.jl:188-217), as traced scalars.
+
+    Pure gather/reduce over static indices — jit- and vmap-safe, so a
+    Monte-Carlo batch evaluates health over *all* rollouts in one fused
+    reduction (``jax.vmap(lambda q, u, g, b: tracking_errors(...))``).
+    """
     h_sim = sim_u.shape[0]
     h_ref = ref.horizon
     reps = int(np.ceil((h_sim / n_sample) / h_ref))
@@ -177,18 +182,23 @@ def tracking_error(ref: ContactTraj, sim_q, sim_u, sim_gamma, sim_b,
 
     nq, nu = ref.q.shape[1], ref.u.shape[1]
     nc, nb = ref.gamma.shape[1], ref.b.shape[1]
-    q_err = u_err = g_err = b_err = 0.0
-    cnt = 0
-    for t in range(h_dup):
-        cnt += 1
-        if t * n_sample + 1 > h_sim:
-            break
-        q_err += float(jnp.sum(jnp.abs(
-            dup.q[t + 2] - sim_q[t * n_sample + 2]))) / nq
-        u_err += float(jnp.sum(jnp.abs(
-            dup.u[t] - sim_u[t * n_sample]))) / nu
-        g_err += float(jnp.sum(jnp.abs(
-            dup.gamma[t] - sim_gamma[t * n_sample]))) / nc
-        b_err += float(jnp.sum(jnp.abs(
-            dup.b[t] - sim_b[t * n_sample]))) / nb
+    # knots with a matching sim sample; the reference's loop counts one
+    # extra iteration when it breaks mid-scan (trajectory.jl:196-205)
+    t = np.arange(h_dup)
+    tv = t[t * n_sample + 1 <= h_sim]
+    cnt = min(tv.size + 1, h_dup)
+
+    l1 = lambda a, b_: jnp.sum(jnp.abs(a - b_), axis=-1)
+    q_err = jnp.sum(l1(dup.q[tv + 2], sim_q[tv * n_sample + 2])) / nq
+    u_err = jnp.sum(l1(dup.u[tv], sim_u[tv * n_sample])) / nu
+    g_err = jnp.sum(l1(dup.gamma[tv], sim_gamma[tv * n_sample])) / nc
+    b_err = jnp.sum(l1(dup.b[tv], sim_b[tv * n_sample])) / nb
     return q_err / cnt, u_err / cnt, g_err / cnt, b_err / cnt
+
+
+def tracking_error(ref: ContactTraj, sim_q, sim_u, sim_gamma, sim_b,
+                   n_sample: int, idx_shift=()):
+    """Host-side convenience wrapper around ``tracking_errors`` returning
+    Python floats (one rollout)."""
+    return tuple(float(e) for e in tracking_errors(
+        ref, sim_q, sim_u, sim_gamma, sim_b, n_sample, idx_shift))

@@ -94,6 +94,24 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         return (jnp.max(jnp.abs(r[: nx + ny])),
                 jnp.max(jnp.abs(r[nx + ny:])))
 
+    def apply_jac(z, d):
+        """True (unregularized) Jacobian at z applied to step columns d."""
+        vec = d.ndim == 1
+        dd = d[:, None] if vec else d
+        eq = pdot(rz_aff, dd)
+        bil = z[iy1][:, None] * dd[iy2] + z[iy2][:, None] * dd[iy1]
+        out = jnp.concatenate([eq, bil], axis=0)
+        return out[:, 0] if vec else out
+
+    def solve_refined(z, factors, rhs):
+        """Schur solve + ``opts.refine`` iterative-refinement passes —
+        recovers the f32 accuracy lost to the regularized factorization
+        (the raw f32 structured solve floors residuals near 1e-5)."""
+        d = schur_solve(factors, rhs)
+        for _ in range(opts.refine):
+            d = d + schur_solve(factors, rhs - apply_jac(z, d))
+        return d
+
     z_init = jnp.ones((dims.nz,), dtype).at[dims.iq2].set(q2_init)
     n_ls = opts.max_ls + 1
     halvings = 0.5 ** jnp.arange(n_ls, dtype=dtype)
@@ -105,7 +123,7 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         done_now = (rvio <= opts.r_tol) & (kvio <= opts.kappa_tol)
 
         factors = schur_factor(z, kvio)
-        d_aff = schur_solve(factors, r0_)
+        d_aff = solve_refined(z, factors, r0_)
         y1, y2 = z[iy1], z[iy2]
         one = jnp.asarray(1.0, dtype)
         a_aff = jnp.minimum(_step_length(y1, d_aff[iy1], one),
@@ -121,7 +139,8 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
 
         r_center = residual(z, kappa_t)
         r_cor = r_center.at[ibil].add(d_aff[iy1] * d_aff[iy2])
-        both = schur_solve(factors, jnp.stack([r_cor, r_center], axis=1))
+        both = solve_refined(z, factors,
+                             jnp.stack([r_cor, r_center], axis=1))
         d_cor, d_cen = both[:, 0], both[:, 1]
 
         tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
@@ -154,6 +173,6 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
     converged = (rvio <= opts.r_tol) & (kvio <= opts.kappa_tol)
 
     factors = schur_factor(z, kvio)
-    dz = -schur_solve(factors, rtheta0)
+    dz = solve_refined(z, factors, -rtheta0)
     return FixedIPResult(z=z, converged=converged, rvio=rvio, kvio=kvio,
                          dz=dz)

@@ -127,6 +127,17 @@ def _ip_kernel(dims: Dims, opts: IPOptions, iters: int,
         dy2 = (r_bil - y2r * dy) / y1r
         return jnp.concatenate([dx, dy, dy2], axis=0)    # (nz, L)
 
+    def solve_refined(si, y1r, y2r, y1, y2, r_eq, r_bil):
+        """Schur solve + ``opts.refine`` iterative-refinement passes
+        against the true (unregularized) Jacobian — same numerics as the
+        oracle's solve_refined (ops/fixed_ip.py)."""
+        d = schur_solve(si, y1r, y2r, r_eq, r_bil)
+        for _ in range(opts.refine):
+            keq = _matvec(rzaff, d)
+            kbil = y2 * d[nx:nx + ny] + y1 * d[nx + ny:]
+            d = d + schur_solve(si, y1r, y2r, r_eq - keq, r_bil - kbil)
+        return d
+
     z_init = zinit_ref[:]
     done0 = jnp.zeros((z0.shape[1],), jnp.bool_)
 
@@ -146,7 +157,7 @@ def _ip_kernel(dims: Dims, opts: IPOptions, iters: int,
         s = ry1 - eye_ny * (ry2 * y2r / y1r)[:, None, :] - caib
         si = _gj_inverse_lanes(s)
 
-        d_aff = schur_solve(si, y1r, y2r, r_eq0, r_bil0)
+        d_aff = solve_refined(si, y1r, y2r, y1, y2, r_eq0, r_bil0)
         one = jnp.ones((z.shape[1],), dtype)
         a_aff = jnp.minimum(
             _step_length_lanes(y1, d_aff[nx:nx + ny], one),
@@ -162,8 +173,8 @@ def _ip_kernel(dims: Dims, opts: IPOptions, iters: int,
 
         r_eq_c, r_bil_c = residual(z, kappa_t)
         r_bil_cor = r_bil_c + d_aff[nx:nx + ny] * d_aff[nx + ny:]
-        d_cor = schur_solve(si, y1r, y2r, r_eq_c, r_bil_cor)
-        d_cen = schur_solve(si, y1r, y2r, r_eq_c, r_bil_c)
+        d_cor = solve_refined(si, y1r, y2r, y1, y2, r_eq_c, r_bil_cor)
+        d_cen = solve_refined(si, y1r, y2r, y1, y2, r_eq_c, r_bil_c)
 
         tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
                        opts.tau_min, opts.tau_max)

@@ -1,3 +1,4 @@
 from .mesh import make_mesh
-from .rollouts import (RolloutStats, monte_carlo_rollouts, sharded_rollouts,
+from .rollouts import (MPCSweepStats, RolloutStats, monte_carlo_rollouts,
+                       sharded_mpc_rollouts, sharded_rollouts,
                        sharded_rollout_stats)

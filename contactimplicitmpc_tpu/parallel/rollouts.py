@@ -54,6 +54,70 @@ def sharded_rollouts(mesh: Mesh, model, env, horizon: int, h: float,
     return fn(q1_batch, v1_batch)
 
 
+class MPCSweepStats(NamedTuple):
+    """Pod-scale closed-loop MPC sweep health (the batched analog of the
+    reference's per-example report: examples/quadruped/flat.jl:71-79 +
+    test thresholds mpc_quadruped.jl:61-68). All fields are global
+    (psum-reduced over the mesh)."""
+
+    n_rollouts: jnp.ndarray
+    success_rate: jnp.ndarray      # all sim solves converged
+    q_err: jnp.ndarray             # mean tracking errors over ALL rollouts
+    u_err: jnp.ndarray
+    gamma_err: jnp.ndarray
+    b_err: jnp.ndarray
+    mean_newton_iters: jnp.ndarray
+    mean_sim_iters: jnp.ndarray
+    mean_r_norm: jnp.ndarray       # final Newton residual, averaged
+
+
+def sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
+                         q1_batch, v1_batch, idx_shift=(0,)):
+    """Closed-loop CIMPC Monte-Carlo sweep sharded over the mesh.
+
+    ``rollout_fn(q1, v1) -> MPCRollout`` is one un-batched closed-loop
+    rollout (control.rollout.mpc_rollout partially applied). Each shard
+    vmaps its slice of the batch locally; sweep statistics (success rate,
+    full-batch tracking errors, iteration counts) reduce with ``psum``
+    over ICI — only scalars cross chips. Returns (MPCRollout stacked over
+    the local+global batch laid out over the mesh, MPCSweepStats).
+    """
+    from ..control.trajectory import tracking_errors
+
+    axes = mesh.axis_names
+
+    def local_shard(q1s, v1s):
+        traj = jax.vmap(rollout_fn)(q1s, v1s)
+        ok = jnp.all(traj.sim_converged, axis=1)
+        errs = jax.vmap(lambda q, u, g, b: tracking_errors(
+            ref, q, u, g, b, n_sample, idx_shift))(
+            traj.q, traj.u, traj.gamma, traj.b)
+        n_local = jnp.asarray(q1s.shape[0], jnp.float32)
+        n = jax.lax.psum(n_local, axes)
+        mean = lambda x: jax.lax.psum(
+            jnp.sum(x.astype(jnp.float32)), axes) / n
+        stats = MPCSweepStats(
+            n_rollouts=n,
+            success_rate=mean(ok),
+            q_err=mean(errs[0]), u_err=mean(errs[1]),
+            gamma_err=mean(errs[2]), b_err=mean(errs[3]),
+            mean_newton_iters=mean(
+                jnp.mean(traj.newton_iterations.astype(jnp.float32),
+                         axis=1)),
+            mean_sim_iters=mean(
+                jnp.mean(traj.sim_iterations.astype(jnp.float32), axis=1)),
+            mean_r_norm=mean(jnp.mean(traj.mpc_r_norm, axis=1)))
+        return traj, stats
+
+    spec = P(axes)
+    stats_spec = jax.tree_util.tree_map(lambda _: P(),
+                                        MPCSweepStats(*[0.0] * 9))
+    fn = jax.jit(jax.shard_map(
+        local_shard, mesh=mesh, in_specs=(spec, spec),
+        out_specs=(spec, stats_spec)))
+    return fn(q1_batch, v1_batch)
+
+
 def sharded_rollout_stats(mesh: Mesh, model, env, horizon: int, h: float,
                           q1_batch, v1_batch, policy=None,
                           disturbances=None, opts=None) -> RolloutStats:

@@ -56,7 +56,18 @@ class IPOptions:
     #                             iterates onto the cone boundary and stalls
     #                             recovery at contact transitions)
     max_ls: int = 3             # residual-merit backtracking halvings
+    eps_min: float = 0.0        # line-search floor: backtracking never
+    #                             shrinks below eps_min × the feasible
+    #                             cone step (RoboDojo's ϵ_min; reference
+    #                             MPC tests set 0.05, sim path 0.25 —
+    #                             simulator.jl:30, mpc_flamingo.jl:58)
     diff_sol: bool = False
+    refine: int = 0             # iterative-refinement passes per linear
+    #                             solve against the TRUE (unregularized)
+    #                             Jacobian — recovers float64-class step
+    #                             accuracy from the float32 structured
+    #                             factorization (the f32 residual floor
+    #                             sits ~1e-5 without it)
 
 
 class IPResult(NamedTuple):
@@ -271,6 +282,18 @@ def ip_solve(
     else:
         cone_step_length, cone_mu, cone_correction = _nc_tools(dims)
 
+    def refined(z, factors, rhs):
+        """Iterative refinement against the true Jacobian (JVP of the
+        residual), correcting both float32 rounding in the structured
+        factorization and the γ_reg diagonal regularization."""
+        d = solve_fn(factors, rhs)
+        for _ in range(opts.refine):
+            kd = jax.jvp(lambda zz: residual_fn(zz, theta,
+                                                jnp.zeros((), dtype)),
+                         (z,), (d,))[1]
+            d = d + solve_fn(factors, rhs - kd)
+        return d
+
     def body(state):
         z, _, rvio, kvio, it, _ = state
 
@@ -278,7 +301,7 @@ def ip_solve(
         factors = factor_fn(z, theta, kvio)
 
         # predictor (affine scaling) step
-        d_aff = solve_fn(factors, r0)
+        d_aff = refined(z, factors, r0)
 
         y1, y2 = z[iy1], z[iy2]
         alpha_aff = cone_step_length(z, d_aff, jnp.asarray(1.0, dtype))
@@ -296,11 +319,11 @@ def ip_solve(
         # (general_correction_term!, linearized_solver.jl:411-418)
         r_center = residual_fn(z, theta, kappa_t)
         r_cor = cone_correction(r_center, d_aff)
-        d_cor = solve_fn(factors, r_cor)
+        d_cor = refined(z, factors, r_cor)
         # pure centering direction — always a descent direction for the
         # merit ‖r(·, κ_t)‖² (exact-Jacobian Gauss-Newton), used as the
         # fallback when the corrected step fails the line search
-        d_cen = solve_fn(factors, r_center)
+        d_cen = refined(z, factors, r_center)
 
         tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
                        jnp.asarray(opts.tau_min, dtype),
@@ -316,7 +339,9 @@ def ip_solve(
         # reference's accept-smallest-α when no candidate passes,
         # particularly in float32).
         merit0 = jnp.sum(jnp.square(r_center))
-        halvings = 0.5 ** jnp.arange(opts.max_ls + 1, dtype=dtype)
+        halvings = jnp.maximum(0.5 ** jnp.arange(opts.max_ls + 1,
+                                                 dtype=dtype),
+                               jnp.asarray(opts.eps_min, dtype))
         n_cand = opts.max_ls + 1
 
         a0_cor = cone_step_length(z, d_cor, tau)
@@ -361,9 +386,30 @@ def ip_solve(
             rtheta = rtheta_fn(z, theta)
         factors = factor_fn(z, theta, kvio)
         dz = -solve_fn(factors, rtheta)
+        for _ in range(opts.refine):
+            kd = jax.vmap(
+                lambda col: jax.jvp(
+                    lambda zz: residual_fn(zz, theta, jnp.zeros((), dtype)),
+                    (z,), (col,))[1], in_axes=1, out_axes=1)(dz)
+            dz = dz + solve_fn(factors, -rtheta - kd)
 
     return IPResult(z=z, converged=done, iterations=it,
                     rvio=rvio, kvio=kvio, dz=dz)
+
+
+def z_warmstart(dims: Dims, q, z_prev, key, amplitude=1.0e-3,
+                cone: str = "linearized"):
+    """z_warmstart! (simulation.jl:87-107): reuse the previous solution's
+    cone variables, nudged into the interior with a positive uniform
+    perturbation of the given amplitude; the q2 slot is re-pinned.
+
+    Nonlinear cone falls back to ``z_initialize`` (reference behavior)."""
+    if cone != "linearized":
+        return z_initialize(dims, q, z_prev.dtype, cone=cone)
+    n_cone = dims.nz - dims.nq
+    pert = amplitude * jax.random.uniform(key, (n_cone,), z_prev.dtype)
+    z = z_prev.at[dims.nq:].add(pert)
+    return z.at[dims.iq2].set(q.astype(z_prev.dtype))
 
 
 def z_initialize(dims: Dims, q, dtype=None, cone: str = "linearized"):

@@ -128,6 +128,76 @@ def skeleton_2d(model, q) -> Sequence[np.ndarray]:
     return [k[i:i + 1] for i in range(k.shape[0])]
 
 
+def skeleton_3d(model, q) -> Sequence[np.ndarray]:
+    """3D polyline skeleton for the floating-base 3D quadrupeds
+    (centroidal/point-foot layout q = [body xyz, body orientation, 4 ×
+    foot xyz] — reference visuals:
+    src/dynamics/centroidal_quadruped/visuals.jl). Returns body→foot
+    segments plus a body orientation triad."""
+    q = np.asarray(q)
+    body = q[:3]
+    feet = q[6:18].reshape(4, 3)
+    lines = [np.stack([body, f]) for f in feet]
+    # orientation triad from the MRP (quaternions.jl / mrp.jl)
+    p = q[3:6]
+    n2 = float(p @ p)
+    # MRP → rotation matrix (mrp.jl)
+    sk = np.array([[0, -p[2], p[1]], [p[2], 0, -p[0]], [-p[1], p[0], 0.0]])
+    rot = np.eye(3) + (8.0 * sk @ sk + 4.0 * (1.0 - n2) * sk) / (1.0 + n2) ** 2
+    for axis in rot.T:
+        lines.append(np.stack([body, body + 0.1 * axis]))
+    return lines
+
+
+def animate_3d(model, qs, env=None, path: str = "rollout3d.gif",
+               every: int = 5, fps: int = 20):
+    """3D skeleton animation of a floating-base rollout → GIF — the
+    minimum MeshCat-class rendering for the 18-DoF models
+    (visualize_robot!, src/dynamics/centroidal_quadruped/visuals.jl)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    qs = np.asarray(qs)[::every]
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(projection="3d")
+    c = qs[:, :3].mean(axis=0)
+    r = 0.6
+    ax.set_xlim(c[0] - r, c[0] + r)
+    ax.set_ylim(c[1] - r, c[1] + r)
+    ax.set_zlim(0.0, 2 * r)
+    # ground plane grid
+    gx, gy = np.meshgrid(np.linspace(c[0] - r, c[0] + r, 8),
+                         np.linspace(c[1] - r, c[1] + r, 8))
+    if env is not None and getattr(env, "dim", 3) == 3:
+        gz = np.array([[float(env.surf(np.array([x, y])))
+                        for x, y in zip(rx, ry)]
+                       for rx, ry in zip(gx, gy)])
+    else:
+        gz = np.zeros_like(gx)
+    ax.plot_wireframe(gx, gy, gz, color="0.8", lw=0.5)
+
+    artists = []
+
+    def draw(i):
+        for a in artists:
+            a.remove()
+        artists.clear()
+        for j, line in enumerate(skeleton_3d(model, qs[i])):
+            color = "C0" if j < 4 else "C3"
+            (art,) = ax.plot(line[:, 0], line[:, 1], line[:, 2], "o-",
+                             color=color, lw=2.0, ms=3)
+            artists.append(art)
+        return artists
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(qs),
+                                   interval=1000 // fps, blit=False)
+    anim.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return path
+
+
 def animate_2d(model, qs, env=None, path: str = "rollout.gif",
                every: int = 5, fps: int = 20):
     """Stick-figure animation of a planar rollout → GIF

@@ -1,0 +1,89 @@
+"""Quadruped CIMPC on non-flat terrain with altitude updates — exercises
+env rotations + terrain-height discovery inside the closed loop
+(reference recipe: ``examples/quadruped/piecewise.jl``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import CONFIGURATION
+from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import quadruped as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_quadruped_piecewise_mpc():
+    """Trot over the piecewise slope (piecewise.jl:11-58): flat gait2
+    reference, altitude_update discovers the local terrain height."""
+    env = ci.piecewise1_2d_lc
+    dims = dims_of(model, env)
+    dtype = jnp.float64
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc = 5, 10
+    kappa_mpc = 1.0e-4
+
+    # piecewise.jl:32-35
+    qw = 1e-2 * np.array([5.0, 0.02, 0.10] + [0.25] * 8)
+    obj = tracking_objective(
+        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+        u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa_mpc, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    steps = 250
+    roll = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, steps, h_mpc, n_sample, kappa_mpc,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05)))
+    traj = roll(q1, v1)
+
+    assert bool(jnp.all(traj.sim_converged))
+    # the quadruped makes forward progress onto the slope without falling
+    assert float(traj.q[-1, 0] - traj.q[1, 0]) > 0.2
+    # body stays above the terrain surface along the way
+    heights = jax.vmap(lambda q: q[1] - env.surf(q[:1]))(traj.q)
+    assert float(jnp.min(heights)) > 0.1
+
+
+def test_altitude_update_discovers_height():
+    """The altitude buffer logic itself: a contact with γ above threshold
+    at a raised configuration writes φ(q) into the altitude vector
+    (update_altitude!, mpc_utils.jl:109-135). Covered implicitly by the
+    rollout above; here structure mode also passes alt through
+    (previously hard-zeroed)."""
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    dtype = jnp.float64
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8)
+    obj = tracking_objective(
+        dims, 10, q=np.tile(qw, (10, 1)), u=3e-2 * np.ones((10, dims.nu)),
+        gamma=1e-100 * np.ones((10, dims.nc)),
+        b=1e-100 * np.ones((10, dims.nb)), dtype=dtype)
+    q1, v1 = initial_conditions(ref)
+    roll = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, 50, 10, 5, 2e-4, CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        warm_start_floor=1e-2, newton_mode="structure",
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05)))
+    traj = roll(q1, v1)
+    assert bool(jnp.all(traj.sim_converged))

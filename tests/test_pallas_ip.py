@@ -38,8 +38,15 @@ def knot_batch():
 
 def test_pallas_ip_matches_oracle(knot_batch):
     dims, lin, theta, alt, q2, kappa = knot_batch
-    opts = IPOptions(r_tol=1e-5, kappa_tol=kappa, max_iter=16,
-                     undercut=5.0, gamma_reg=0.1, max_ls=3)
+    # r_tol: the affine residual r0 + rθ·Δθ + rz·Δz on the worst
+    # contact-rich knot has O(10–100) magnitude terms cancelling to ~1e-5,
+    # so plain-f32 *evaluation* of the residual floors at ~1.2e-5
+    # regardless of solver accuracy (measured: both this kernel and the
+    # oracle stall at rvio = 1.13e-5 with refine=1). 2e-5 is the smallest
+    # honest f32 tolerance; the f64 CPU tests cover the tight-tolerance
+    # contract.
+    opts = IPOptions(r_tol=2e-5, kappa_tol=kappa, max_iter=16,
+                     undercut=5.0, gamma_reg=0.1, max_ls=3, refine=1)
 
     oracle = jax.vmap(
         lambda z0, th0, r0, rz0, rt0, a, th, q:

@@ -45,3 +45,22 @@ def test_animation(tmp_path):
     qs[:, 0] = np.linspace(0, 1, 20)
     p = animate_2d(hopper_2d, qs, path=str(tmp_path / "roll.gif"), every=2)
     assert os.path.exists(p)
+
+
+def test_skeleton_3d_and_animation(tmp_path):
+    from contactimplicitmpc_tpu.models import centroidal_quadruped
+    from contactimplicitmpc_tpu.utils.visuals import animate_3d, skeleton_3d
+
+    q = np.zeros(18)
+    q[:3] = [0.0, 0.0, 0.3]
+    q[6:] = np.tile([0.2, 0.15, 0.0], 4) * np.array(
+        [1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1])
+    lines = skeleton_3d(centroidal_quadruped, q)
+    assert len(lines) == 7  # 4 legs + orientation triad
+    assert all(l.shape == (2, 3) for l in lines)
+
+    qs = np.tile(q, (10, 1))
+    qs[:, 2] += np.linspace(0, 0.05, 10)
+    p = animate_3d(centroidal_quadruped, qs,
+                   path=str(tmp_path / "roll3d.gif"), every=2)
+    assert os.path.exists(p)

@@ -1,0 +1,99 @@
+"""z_warmstart / eps_min / batched tracking_errors — small API-parity
+pieces (simulation.jl:87-107, RoboDojo ϵ_min, trajectory.jl:188-217)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (from_gait, tracking_error,
+                                            tracking_errors)
+from contactimplicitmpc_tpu.models import particle_2d, quadruped
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import (IPOptions, ip_solve,
+                                                       z_initialize,
+                                                       z_warmstart)
+from contactimplicitmpc_tpu.sim.residual import pack_theta, residual
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_z_warmstart_perturbs_cone_only():
+    dims = dims_of(particle_2d, ci.flat_2d_lc)
+    q = jnp.array([0.3, 0.7])
+    z_prev = z_initialize(dims, jnp.zeros((dims.nq,)))
+    key = jax.random.PRNGKey(1)
+    z = z_warmstart(dims, q, z_prev, key, amplitude=1e-2)
+    # q2 slot pinned exactly
+    assert jnp.allclose(z[dims.iq2], q)
+    # cone variables strictly positive and within amplitude of z_prev
+    delta = z[dims.nq:] - z_prev[dims.nq:]
+    assert float(jnp.min(delta)) >= 0.0
+    assert float(jnp.max(delta)) <= 1e-2
+    assert float(jnp.min(z[dims.nq:])) > 0.0
+
+
+def test_z_warmstart_speeds_up_resolve():
+    """Warm-starting from the previous step's solution takes fewer IP
+    iterations than the cold ones-start (z_warmstart! purpose)."""
+    model, env = particle_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    h = 0.01
+    q0 = jnp.array([0.0, 1.0])
+    q1 = jnp.array([0.0, 0.99])
+    th = pack_theta(q0, q1, jnp.zeros((dims.nu,)), jnp.zeros((dims.nw,)),
+                    model.mu_world, h)
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                     undercut=float("inf"), max_ls=6)
+    r_fn = lambda z, t, k: residual(model, env, z, t, k)
+    cold = ip_solve(dims, r_fn, z_initialize(dims, q1), th, opts)
+    assert bool(cold.converged)
+    th2 = pack_theta(q1, cold.z[dims.iq2], jnp.zeros((dims.nu,)),
+                     jnp.zeros((dims.nw,)), model.mu_world, h)
+    warm0 = z_warmstart(dims, cold.z[dims.iq2], cold.z,
+                        jax.random.PRNGKey(0), amplitude=1e-3)
+    warm = ip_solve(dims, r_fn, warm0, th2, opts)
+    cold2 = ip_solve(dims, r_fn, z_initialize(dims, cold.z[dims.iq2]),
+                     th2, opts)
+    assert bool(warm.converged)
+    assert int(warm.iterations) <= int(cold2.iterations)
+
+
+def test_eps_min_floors_line_search():
+    """eps_min > 0 must not break convergence (it floors the backtracking
+    fraction, reference sim default 0.25 — simulator.jl:30)."""
+    model, env = particle_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    th = pack_theta(jnp.array([0.0, 1.0]), jnp.array([0.0, 0.99]),
+                    jnp.zeros((dims.nu,)), jnp.zeros((dims.nw,)),
+                    model.mu_world, 0.01)
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                     undercut=float("inf"), max_ls=6, eps_min=0.25)
+    r_fn = lambda z, t, k: residual(model, env, z, t, k)
+    res = ip_solve(dims, r_fn, z_initialize(dims, jnp.array([0.0, 0.99])),
+                   th, opts)
+    assert bool(res.converged)
+
+
+def test_tracking_errors_batch_matches_host():
+    """Vectorized tracking_errors == host-loop tracking_error, and vmaps
+    over a batch of rollouts."""
+    model, env = quadruped, ci.flat_2d_lc
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True)
+    n_sample = 5
+    t_sim = 4 * n_sample
+    key = jax.random.PRNGKey(0)
+    sim_q = ref.q[1] + 0.01 * jax.random.normal(
+        key, (3, t_sim + 2, ref.q.shape[1]))
+    sim_u = jnp.tile(ref.u[:1], (3, t_sim, 1))
+    sim_g = jnp.tile(ref.gamma[:1], (3, t_sim, 1))
+    sim_b = jnp.tile(ref.b[:1], (3, t_sim, 1))
+
+    batch = jax.vmap(lambda q, u, g, b: tracking_errors(
+        ref, q, u, g, b, n_sample, idx_shift=(0,)))(
+        sim_q, sim_u, sim_g, sim_b)
+    for i in range(3):
+        host = tracking_error(ref, sim_q[i], sim_u[i], sim_g[i], sim_b[i],
+                              n_sample, idx_shift=(0,))
+        for bj, hj in zip(batch, host):
+            np.testing.assert_allclose(float(bj[i]), hj, rtol=1e-6)
