@@ -67,7 +67,7 @@ def main():
     from contactimplicitmpc_tpu.models import quadruped as model
     from contactimplicitmpc_tpu.models.base import dims_of
     from contactimplicitmpc_tpu.parallel import (make_mesh,
-                                                 sharded_mpc_rollouts)
+                                                 make_sharded_mpc_rollouts)
     from contactimplicitmpc_tpu.sim.interior_point import IPOptions
     from contactimplicitmpc_tpu.utils.gaits import load_gait
 
@@ -123,13 +123,14 @@ def main():
                            n_opts=NewtonOptions(r_tol=3e-4, max_iter=5,
                                                 fixed_ip_iters=fixed_iters),
                            ip_opts=mpc_ip, sim_opts=sim_opts,
-                           warm_start_floor=1e-2, newton_mode=newton_mode)
+                           warm_start_floor=1e-2, newton_mode=newton_mode,
+                           structure_full_warm=os.environ.get(
+                               "CIMPC_BENCH_STRUCT_WARM", "1") == "1")
 
     mesh = make_mesh(n_dev)
     assert batch % n_dev == 0, (batch, n_dev)
 
-    def run(q, v):
-        return sharded_mpc_rollouts(mesh, rollout, ref, n_sample, q, v)
+    run = make_sharded_mpc_rollouts(mesh, rollout, ref, n_sample)
 
     t0 = time.time()
     traj, stats = run(q1s, v1s)

@@ -22,9 +22,14 @@ if not _os.environ.get("CIMPC_NO_PRECISION_FIX"):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
 from .dims import Dims
-from .env import (ENVIRONMENTS, Environment, environment_2d,
-                  environment_2d_flat, environment_3d, environment_3d_flat,
-                  flat_2d_lc, flat_3d_lc)
+from .env import (ENVIRONMENTS, Environment, circular_bowl_3d_nc,
+                  environment_2d, environment_2d_flat, environment_3d,
+                  environment_3d_flat, flat_2d_lc, flat_2d_nc, flat_3d_lc,
+                  flat_3d_nc, piecewise1_2d_lc, piecewise2_2d_lc,
+                  quadratic_bowl_3d_lc, quadratic_bowl_3d_nc, sine1_2d_lc,
+                  sine1_3d_lc, sine2_2d_lc, sine2_3d_lc, sine3_2d_lc,
+                  sine3_3d_lc, slope1_2d_lc, slope_smooth_2d_lc,
+                  smoothed_stairs_2d_lc, stairs3_2d_lc)
 from .models.base import Model, dims_of, dynamics
 from .sim.interior_point import IPOptions, IPResult, ip_solve, z_initialize
 from .sim.residual import (pack_theta, pack_z, pack_z_consistent, residual,

@@ -335,9 +335,16 @@ def newton_solve(
         any_ok = jnp.any(accept)
         pick = jnp.where(any_ok, jnp.argmax(accept), n_ls - 1)
 
+        # reject non-finite steps (float32 KKT solve blow-up): keep the
+        # current iterate rather than poisoning the rollout with NaNs
+        ok_fin = jnp.isfinite(rns[pick])
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok_fin, x, y), a, b)
         take = lambda x: jax.tree_util.tree_map(lambda a: a[pick], x)
-        traj_n, nu_n, imp_n = take(trs), take(nns), take(ims)
-        r_n, r_norm_n = rrs[pick], rns[pick]
+        traj_n, nu_n, imp_n = (sel(take(trs), traj_c), sel(take(nns), nu_c),
+                               sel(take(ims), imp_c))
+        r_n = sel(rrs[pick], r_c)
+        r_norm_n = jnp.where(ok_fin, rns[pick], r_norm_c)
 
         # regularization update (newton.jl:280)
         beta_n = jnp.where(any_ok,

@@ -211,7 +211,7 @@ def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
     """Structure-mode CIMPC (reference newton_mode=:structure,
     policy.jl:78-84, completed) with full warm starting and the altitude
     update (mpc_utils.jl:109-135) — parity with the direct-mode path."""
-    from .structure_solver import (state_from_reference,
+    from .structure_solver import (shift_state, state_from_reference,
                                    structure_newton_solve,
                                    structure_objective_from_tracking)
 
@@ -261,11 +261,13 @@ def _structure_policy(model, env, dims, ref_traj, obj, lin, stride, h_mpc,
         q_ref = ref_window.q[:h_mpc + 1]
         u_ref = ref_window.u[:h_mpc - 1]
         theta_template = ref_window.theta[:h_mpc - 1]
-        # full warm start: previous primal stages AND duals when warm
+        # full warm start: previous primal stages AND duals when warm,
+        # shifted one knot to stay aligned with the rotated window
         # (reset!/warm_start semantics, newton.jl:130-167)
         st0 = jax.tree_util.tree_map(
             lambda x, y: jnp.where(warm, x, y),
-            state.warm, st_ref_of(ref_window))
+            shift_state(state.warm, q_ref, u_ref, h_mpc),
+            st_ref_of(ref_window))
 
         result = structure_newton_solve(
             dims, sobj, lin_w, q_ref, u_ref, theta_template,

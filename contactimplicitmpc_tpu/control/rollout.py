@@ -68,6 +68,7 @@ def mpc_rollout(
     newton_mode: str = "direct",
     mpc_opts=None,
     stride_idx=(0,),
+    structure_full_warm: bool = True,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -108,7 +109,7 @@ def mpc_rollout(
 
     structure = newton_mode == "structure"
     if structure:
-        from .structure_solver import (state_from_reference,
+        from .structure_solver import (shift_state, state_from_reference,
                                        structure_newton_solve,
                                        structure_objective_from_tracking)
         sobj = structure_objective_from_tracking(dims, obj,
@@ -184,11 +185,20 @@ def mpc_rollout(
             lin_w = gather(lin, window[:h_mpc - 1])
             q_ref = ref_window.q[:h_mpc + 1]
             u_ref = ref_window.u[:h_mpc - 1]
-            # full warm start: reuse the previous solve's primal stages and
-            # duals (reset!/warm_start semantics, newton.jl:130-167);
-            # measured q0/q1 are pinned inside structure_newton_solve
-            st0 = sel(warm_state,
-                      state_from_reference(q_ref, u_ref, dims, h_mpc, dtype))
+            # full warm start: the previous solve's primal stages and duals,
+            # shifted one knot to stay aligned with the rotated window
+            # (reset!/warm_start semantics, newton.jl:130-167); measured
+            # q0/q1 are pinned inside structure_newton_solve
+            st_ref = state_from_reference(q_ref, u_ref, dims, h_mpc, dtype)
+            if structure_full_warm:
+                st0 = sel(shift_state(warm_state, q_ref, u_ref, h_mpc), st_ref)
+            else:
+                # duals-only warm start (round-1 behavior): rebuild the
+                # primal stages from the reference every control step —
+                # breaks the f32 error-feedback loop at some tracking cost
+                st0 = st_ref._replace(
+                    nu1=jnp.where(warm, warm_state.nu1, st_ref.nu1),
+                    nu2=jnp.where(warm, warm_state.nu2, st_ref.nu2))
             result = structure_newton_solve(
                 dims, sobj, lin_w, q_ref, u_ref,
                 ref_window.theta[:h_mpc - 1], q_ctrl_prev, qb_sim, st0,

@@ -306,6 +306,26 @@ def state_from_reference(q_ref, u_ref, dims: Dims, horizon: int,
                           nu2=jnp.zeros((h, dims.nq), dtype))
 
 
+def shift_state(st: StructureState, q_ref, u_ref,
+                horizon: int) -> StructureState:
+    """Receding-horizon warm start: advance the previous solution one knot
+    so it aligns with the rotated reference window, filling the newly
+    entered tail stage from the reference (rot_n_stride analog for the
+    Newton warm start; the reference leaves core.traj unshifted,
+    newton.jl:130-167, and relies on many Newton iterations to recover —
+    at fixed small iteration budgets the aligned start tracks far better).
+
+    ``q_ref``/``u_ref`` are the NEW window's references ((H+1, nq) and
+    (H-1, nu), 0-based)."""
+    h = horizon
+    qa = st.qa.at[1:h].set(st.qa[2:h + 1]).at[h].set(q_ref[h - 1])
+    qb = st.qb.at[1:h].set(st.qb[2:h + 1]).at[h].set(q_ref[h])
+    u = st.u.at[1:h - 1].set(st.u[2:h]).at[h - 1].set(u_ref[h - 2])
+    nu1 = st.nu1.at[1:h - 1].set(st.nu1[2:h])
+    nu2 = st.nu2.at[1:h - 1].set(st.nu2[2:h])
+    return StructureState(u=u, qa=qa, qb=qb, nu1=nu1, nu2=nu2)
+
+
 def _implicit_stages(dims: Dims, lin: LinearizedData, state: StructureState,
                      theta_template, alt, opts: IPOptions, horizon: int,
                      fixed_iters: int = 0):
@@ -421,7 +441,14 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
     dtype = q_ref.dtype
     beta = jnp.asarray(opts.beta_init, dtype)
 
-    # pin measured configurations (methods.jl:786-791)
+    # sanitize the warm start: any non-finite leaf (a diverged previous
+    # solve in float32) falls back to the reference value — the batched
+    # analog of the reference's failure -> stale/reset recovery
+    # (implicit_dynamics.jl:169-177); then pin measured configurations
+    # (methods.jl:786-791)
+    ref_st = state_from_reference(q_ref, u_ref, dims, h, dtype)
+    state = jax.tree_util.tree_map(
+        lambda w, r: jnp.where(jnp.isfinite(w), w, r), state, ref_st)
     state = state._replace(qa=state.qa.at[1].set(q0),
                            qb=state.qb.at[1].set(q1))
 
@@ -464,7 +491,15 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
         accept = rns ** 2 < (1.0 - 1.0e-3 * alphas) * r_norm_c ** 2
         pick = jnp.where(jnp.any(accept), jnp.argmax(accept), n_ls - 1)
         take = lambda tr: jax.tree_util.tree_map(lambda x: x[pick], tr)
-        return (take(sts), take(ps), take(js), rns[pick], it + 1)
+        # reject non-finite steps outright (float32 block-Cholesky can
+        # fail on an indefinite Y): keep the current iterate instead of
+        # poisoning the whole rollout with NaNs
+        ok = jnp.isfinite(rns[pick])
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        return (sel(take(sts), st), sel(take(ps), parts_c),
+                sel(take(js), jacs_c), jnp.where(ok, rns[pick], r_norm_c),
+                it + 1)
 
     def cond(carry):
         r_norm_c, it = carry[3], carry[4]

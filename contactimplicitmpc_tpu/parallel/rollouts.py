@@ -71,16 +71,20 @@ class MPCSweepStats(NamedTuple):
     mean_r_norm: jnp.ndarray       # final Newton residual, averaged
 
 
-def sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
-                         q1_batch, v1_batch, idx_shift=(0,)):
-    """Closed-loop CIMPC Monte-Carlo sweep sharded over the mesh.
+def make_sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
+                              idx_shift=(0,)):
+    """Build the jitted, mesh-sharded CIMPC Monte-Carlo sweep.
+
+    Returns ``fn(q1_batch, v1_batch) -> (MPCRollout, MPCSweepStats)``,
+    jitted ONCE — call it repeatedly (warm timing loops) without paying a
+    re-trace per call.
 
     ``rollout_fn(q1, v1) -> MPCRollout`` is one un-batched closed-loop
     rollout (control.rollout.mpc_rollout partially applied). Each shard
     vmaps its slice of the batch locally; sweep statistics (success rate,
     full-batch tracking errors, iteration counts) reduce with ``psum``
-    over ICI — only scalars cross chips. Returns (MPCRollout stacked over
-    the local+global batch laid out over the mesh, MPCSweepStats).
+    over ICI — only scalars cross chips. The rollout output stays laid
+    out over the mesh.
     """
     from ..control.trajectory import tracking_errors
 
@@ -112,9 +116,17 @@ def sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
     spec = P(axes)
     stats_spec = jax.tree_util.tree_map(lambda _: P(),
                                         MPCSweepStats(*[0.0] * 9))
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_shard, mesh=mesh, in_specs=(spec, spec),
         out_specs=(spec, stats_spec)))
+
+
+def sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
+                         q1_batch, v1_batch, idx_shift=(0,)):
+    """One-shot convenience wrapper around ``make_sharded_mpc_rollouts``.
+    For repeated calls (timing loops) build the function once instead."""
+    fn = make_sharded_mpc_rollouts(mesh, rollout_fn, ref, n_sample,
+                                   idx_shift)
     return fn(q1_batch, v1_batch)
 
 

@@ -378,6 +378,15 @@ def ip_solve(
         (z0, r_init, rvio0, kvio0, jnp.zeros((), jnp.int32), done0))
     z, _, rvio, kvio, it, done = jax.lax.while_loop(cond, body, state)
 
+    # divergence guard: a float32 solve that blows up to non-finite values
+    # returns the (finite) initial iterate marked non-converged instead of
+    # propagating NaNs into downstream batch statistics and warm starts —
+    # the batched analog of the reference's early-exit-on-failure
+    # (continuous_policy.jl:29-31)
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(z)))
+    z = jnp.where(bad, z0, z)
+    done = jnp.logical_and(done, jnp.logical_not(bad))
+
     dz = None
     if opts.diff_sol:
         if rtheta_fn is None:

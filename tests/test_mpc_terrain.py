@@ -55,8 +55,10 @@ def test_quadruped_piecewise_mpc():
     traj = roll(q1, v1)
 
     assert bool(jnp.all(traj.sim_converged))
-    # the quadruped makes forward progress onto the slope without falling
-    assert float(traj.q[-1, 0] - traj.q[1, 0]) > 0.2
+    # the quadruped makes forward progress onto the slope without falling:
+    # perfect tracking covers (n_ctrl / H_gait) * stride_x =
+    # (50 / 60) * 0.184 = 0.154 m over these 250 sim steps
+    assert float(traj.q[-1, 0] - traj.q[1, 0]) > 0.12
     # body stays above the terrain surface along the way
     heights = jax.vmap(lambda q: q[1] - env.surf(q[:1]))(traj.q)
     assert float(jnp.min(heights)) > 0.1
