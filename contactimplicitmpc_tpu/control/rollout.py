@@ -69,6 +69,7 @@ def mpc_rollout(
     mpc_opts=None,
     stride_idx=(0,),
     structure_full_warm: bool = True,
+    w=None,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -128,7 +129,14 @@ def mpc_rollout(
     def r_fn(z, th, kap):
         return residual(model, env, z, th, kap)
 
-    def sim_substeps(q0, q1, u, z_prev):
+    # external disturbance forces per sim step ((T, nw); zero if absent) —
+    # the OpenLoopDisturbance analog for the fused rollout
+    # (disturbances.jl:40-60, scaled by 1/N_sample like the held control)
+    w_steps = (jnp.zeros((horizon_sim, dims.nw), dtype) if w is None
+               else jnp.asarray(w, dtype).reshape(horizon_sim, dims.nw))
+    w_periods = w_steps.reshape(n_ctrl, n_sample, dims.nw)
+
+    def sim_substeps(q0, q1, u, z_prev, w_period):
         """N_sample physics steps under the held control u / N_sample.
 
         The cone variables warm-start from the previous step's solution,
@@ -139,10 +147,9 @@ def mpc_rollout(
         u_step = u / n_sample
         floor = jnp.asarray(warm_start_floor, dtype)
 
-        def step(carry, _):
+        def step(carry, w_t):
             qa, qb, zp = carry
-            theta = pack_theta(qa, qb, u_step, jnp.zeros((dims.nw,), dtype),
-                               mu, h_sim)
+            theta = pack_theta(qa, qb, u_step, w_t, mu, h_sim)
             if warm_start_floor > 0:
                 cone = jnp.maximum(zp[dims.nq:], floor)
                 z0 = jnp.concatenate([qb, cone])
@@ -150,12 +157,15 @@ def mpc_rollout(
                 z0 = z_initialize(dims, qb)
             res = ip_solve(dims, r_fn, z0, theta, sim_opts)
             q2 = res.z[dims.iq2]
-            return (qb, q2, res.z), (q2, res.z[dims.igamma1],
-                                     res.z[dims.ib1], res.converged,
-                                     res.iterations)
+            # a failed solve must not warm-start the next step: fall back
+            # to the cold initializer so one bad step can't cascade
+            z_carry = jnp.where(res.converged, res.z,
+                                z_initialize(dims, q2, dtype))
+            return (qb, q2, z_carry), (q2, res.z[dims.igamma1],
+                                       res.z[dims.ib1], res.converged,
+                                       res.iterations)
 
-        (qa, qb, zp), ys = jax.lax.scan(step, (q0, q1, z_prev), None,
-                                        length=n_sample)
+        (qa, qb, zp), ys = jax.lax.scan(step, (q0, q1, z_prev), w_period)
         return qa, qb, zp, ys
 
     def update_altitude(alt, gamma_prev, q_prev, warm):
@@ -220,7 +230,8 @@ def mpc_rollout(
             nu_next = result.nu
             warm_next = result.traj
 
-        qa, qb, zp, ys = sim_substeps(qa_sim, qb_sim, u, z_prev)
+        qa, qb, zp, ys = sim_substeps(qa_sim, qb_sim, u, z_prev,
+                                      w_periods[t])
         qs_period, gammas_period = ys[0], ys[1]
 
         carry = (rot_n_stride(dims, ref_rot, stride), warm_next,

@@ -94,22 +94,25 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         return (jnp.max(jnp.abs(r[: nx + ny])),
                 jnp.max(jnp.abs(r[nx + ny:])))
 
-    def apply_jac(z, d):
-        """True (unregularized) Jacobian at z applied to step columns d."""
+    def apply_jac(factors, d):
+        """The factorization's own (regularized) operator applied to step
+        columns d — refinement against this contracts unconditionally;
+        the true (unclamped) Jacobian diverges when the γ_reg clamp is
+        active (see interior_point.apply_reg_jacobian)."""
+        _, y1r, y2r = factors
         vec = d.ndim == 1
         dd = d[:, None] if vec else d
         eq = pdot(rz_aff, dd)
-        bil = z[iy1][:, None] * dd[iy2] + z[iy2][:, None] * dd[iy1]
+        bil = y1r[:, None] * dd[iy2] + y2r[:, None] * dd[iy1]
         out = jnp.concatenate([eq, bil], axis=0)
         return out[:, 0] if vec else out
 
     def solve_refined(z, factors, rhs):
-        """Schur solve + ``opts.refine`` iterative-refinement passes —
-        recovers the f32 accuracy lost to the regularized factorization
-        (the raw f32 structured solve floors residuals near 1e-5)."""
+        """Schur solve + ``opts.refine`` float32 iterative-refinement
+        passes against the regularized operator."""
         d = schur_solve(factors, rhs)
         for _ in range(opts.refine):
-            d = d + schur_solve(factors, rhs - apply_jac(z, d))
+            d = d + schur_solve(factors, rhs - apply_jac(factors, d))
         return d
 
     z_init = jnp.ones((dims.nz,), dtype).at[dims.iq2].set(q2_init)

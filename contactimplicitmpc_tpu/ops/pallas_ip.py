@@ -128,13 +128,15 @@ def _ip_kernel(dims: Dims, opts: IPOptions, iters: int,
         return jnp.concatenate([dx, dy, dy2], axis=0)    # (nz, L)
 
     def solve_refined(si, y1r, y2r, y1, y2, r_eq, r_bil):
-        """Schur solve + ``opts.refine`` iterative-refinement passes
-        against the true (unregularized) Jacobian — same numerics as the
-        oracle's solve_refined (ops/fixed_ip.py)."""
+        """Schur solve + ``opts.refine`` float32 iterative-refinement
+        passes against the factorization's own (regularized) operator —
+        same numerics as the oracle's solve_refined (ops/fixed_ip.py);
+        refining against the true Jacobian diverges when the γ_reg clamp
+        is active."""
         d = schur_solve(si, y1r, y2r, r_eq, r_bil)
         for _ in range(opts.refine):
             keq = _matvec(rzaff, d)
-            kbil = y2 * d[nx:nx + ny] + y1 * d[nx + ny:]
+            kbil = y2r * d[nx:nx + ny] + y1r * d[nx + ny:]
             d = d + schur_solve(si, y1r, y2r, r_eq - keq, r_bil - kbil)
         return d
 

@@ -98,19 +98,26 @@ def make_sharded_mpc_rollouts(mesh: Mesh, rollout_fn, ref, n_sample: int,
             traj.q, traj.u, traj.gamma, traj.b)
         n_local = jnp.asarray(q1s.shape[0], jnp.float32)
         n = jax.lax.psum(n_local, axes)
+        n_ok = jnp.maximum(jax.lax.psum(
+            jnp.sum(ok.astype(jnp.float32)), axes), 1.0)
         mean = lambda x: jax.lax.psum(
             jnp.sum(x.astype(jnp.float32)), axes) / n
+        # tracking errors are averaged over SUCCESSFUL rollouts only: a
+        # diverged lane's error is meaningless (it is already counted by
+        # success_rate) and would otherwise poison the batch means
+        mean_ok = lambda x: jax.lax.psum(
+            jnp.sum(jnp.where(ok, x.astype(jnp.float32), 0.0)), axes) / n_ok
         stats = MPCSweepStats(
             n_rollouts=n,
             success_rate=mean(ok),
-            q_err=mean(errs[0]), u_err=mean(errs[1]),
-            gamma_err=mean(errs[2]), b_err=mean(errs[3]),
+            q_err=mean_ok(errs[0]), u_err=mean_ok(errs[1]),
+            gamma_err=mean_ok(errs[2]), b_err=mean_ok(errs[3]),
             mean_newton_iters=mean(
                 jnp.mean(traj.newton_iterations.astype(jnp.float32),
                          axis=1)),
             mean_sim_iters=mean(
                 jnp.mean(traj.sim_iterations.astype(jnp.float32), axis=1)),
-            mean_r_norm=mean(jnp.mean(traj.mpc_r_norm, axis=1)))
+            mean_r_norm=mean_ok(jnp.mean(traj.mpc_r_norm, axis=1)))
         return traj, stats
 
     spec = P(axes)

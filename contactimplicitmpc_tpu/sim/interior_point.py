@@ -63,11 +63,12 @@ class IPOptions:
     #                             simulator.jl:30, mpc_flamingo.jl:58)
     diff_sol: bool = False
     refine: int = 0             # iterative-refinement passes per linear
-    #                             solve against the TRUE (unregularized)
-    #                             Jacobian — recovers float64-class step
-    #                             accuracy from the float32 structured
-    #                             factorization (the f32 residual floor
-    #                             sits ~1e-5 without it)
+    #                             solve against the factorization's own
+    #                             (γ_reg-regularized) operator — corrects
+    #                             float32 rounding in the structured
+    #                             solve. NOT against the true Jacobian:
+    #                             that iteration diverges whenever the
+    #                             clamp is active (near cone boundaries)
 
 
 class IPResult(NamedTuple):
@@ -282,15 +283,37 @@ def ip_solve(
     else:
         cone_step_length, cone_mu, cone_correction = _nc_tools(dims)
 
-    def refined(z, factors, rhs):
-        """Iterative refinement against the true Jacobian (JVP of the
-        residual), correcting both float32 rounding in the structured
-        factorization and the γ_reg diagonal regularization."""
+    def apply_reg_jacobian(z, kvio, d):
+        """Apply the REGULARIZED Jacobian — the same operator the
+        factorization represents: equality rows via JVP of the residual,
+        bilinear rows with the γ_reg-clamped diagonals. Refining against
+        this operator only corrects float32 rounding in the structured
+        solve, so the correction iteration contracts unconditionally;
+        refining against the true (unclamped) Jacobian diverges whenever
+        the clamp is active (‖I − K_reg⁻¹ J‖ > 1 near the cone boundary),
+        which is exactly where float32 needs the help."""
+        jd = jax.jvp(lambda zz: residual_fn(zz, theta,
+                                            jnp.zeros((), dtype)),
+                     (z,), (d,))[1]
+        if cone != "linearized":
+            return jd  # exact dense Jacobian backend: no clamp to match
+        reg = jnp.asarray(opts.gamma_reg, dtype) * kvio
+        y1r = jnp.maximum(z[iy1], reg)
+        y2r = jnp.maximum(z[iy2], reg)
+        bil = y2r * d[iy1] + y1r * d[iy2]
+        return jd.at[ibil].set(bil)
+
+    def refined(z, kvio, factors, rhs):
+        """One structured solve + ``opts.refine`` float32 iterative-
+        refinement passes against the factorization's own (regularized)
+        operator."""
         d = solve_fn(factors, rhs)
         for _ in range(opts.refine):
-            kd = jax.jvp(lambda zz: residual_fn(zz, theta,
-                                                jnp.zeros((), dtype)),
-                         (z,), (d,))[1]
+            if rhs.ndim == 1:
+                kd = apply_reg_jacobian(z, kvio, d)
+            else:
+                kd = jax.vmap(lambda col: apply_reg_jacobian(z, kvio, col),
+                              in_axes=1, out_axes=1)(d)
             d = d + solve_fn(factors, rhs - kd)
         return d
 
@@ -301,7 +324,7 @@ def ip_solve(
         factors = factor_fn(z, theta, kvio)
 
         # predictor (affine scaling) step
-        d_aff = refined(z, factors, r0)
+        d_aff = refined(z, kvio, factors, r0)
 
         y1, y2 = z[iy1], z[iy2]
         alpha_aff = cone_step_length(z, d_aff, jnp.asarray(1.0, dtype))
@@ -319,11 +342,11 @@ def ip_solve(
         # (general_correction_term!, linearized_solver.jl:411-418)
         r_center = residual_fn(z, theta, kappa_t)
         r_cor = cone_correction(r_center, d_aff)
-        d_cor = refined(z, factors, r_cor)
+        d_cor = refined(z, kvio, factors, r_cor)
         # pure centering direction — always a descent direction for the
         # merit ‖r(·, κ_t)‖² (exact-Jacobian Gauss-Newton), used as the
         # fallback when the corrected step fails the line search
-        d_cen = refined(z, factors, r_center)
+        d_cen = refined(z, kvio, factors, r_center)
 
         tau = jnp.clip(1.0 - jnp.maximum(rvio, kvio) ** 2,
                        jnp.asarray(opts.tau_min, dtype),
@@ -394,13 +417,13 @@ def ip_solve(
         else:
             rtheta = rtheta_fn(z, theta)
         factors = factor_fn(z, theta, kvio)
-        dz = -solve_fn(factors, rtheta)
-        for _ in range(opts.refine):
-            kd = jax.vmap(
-                lambda col: jax.jvp(
-                    lambda zz: residual_fn(zz, theta, jnp.zeros((), dtype)),
-                    (z,), (col,))[1], in_axes=1, out_axes=1)(dz)
-            dz = dz + solve_fn(factors, -rtheta - kd)
+        dz = refined(z, kvio, factors, -rtheta)
+        # a singular float32 factorization can emit non-finite
+        # sensitivities even at a finite z; zero them (and flag) rather
+        # than poisoning the horizon-Newton Jacobian blocks downstream
+        dz_bad = jnp.logical_not(jnp.all(jnp.isfinite(dz)))
+        dz = jnp.where(dz_bad, jnp.zeros_like(dz), dz)
+        done = jnp.logical_and(done, jnp.logical_not(dz_bad))
 
     return IPResult(z=z, converged=done, iterations=it,
                     rvio=rvio, kvio=kvio, dz=dz)

@@ -1,0 +1,64 @@
+"""Closed-loop CIMPC on the centroidal-quadruped **box** variant — the
+box step terrain is baked into the model's ϕ (reference:
+``src/dynamics/centroidal_quadruped_box/model.jl:87-107``, driven by
+``examples/centroidal_quadruped_box/continuous_step_over_box.jl``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_errors,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import CONFIGURATION
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import centroidal_quadruped_box as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_box_stand_mpc_push():
+    """Stand next to the box step under a push toward it: the MPC keeps
+    the stance converged with the box ϕ in both sim and controller."""
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    dtype = jnp.float64
+    ref = from_gait(model, env, load_gait("centroidal_quadruped",
+                                          "stand_v0"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc = 5, 10
+    kappa_mpc = 2.0e-4
+    v_w = 1e-3 * np.concatenate([np.ones(3), 1e3 * np.ones(3),
+                                 np.ones(12)])
+    q_body = np.array([1e-2, 1e-2, 1.0]) + 4.0 * np.array([0.2, 0.2, 1.0])
+    q_w = np.concatenate([q_body, 0.3 * np.ones(3),
+                          np.tile([0.2, 0.2, 1.0], 4)])
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=q_w, v=v_w, u=3e-3 * np.ones(dims.nu), dtype=dtype)
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa_mpc, max_iter=30,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+    q1, v1 = initial_conditions(ref)
+    h_sim = 80
+    w = np.zeros((h_sim, 3))
+    w[40:45] = np.array([3.0, 0.0, 0.0]) / 5.0   # push toward the step
+    roll = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, h_sim, h_mpc, n_sample, kappa_mpc,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-5, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2, w=w))
+    traj = roll(q1, v1)
+    assert bool(jnp.all(traj.sim_converged))
+    qe, _, _, _ = tracking_errors(ref, traj.q, traj.u, traj.gamma,
+                                  traj.b, n_sample)
+    assert float(qe) < 0.05, float(qe)
+    # feet never penetrate the box surface
+    feet = np.asarray(traj.q)[:, 6:].reshape(-1, 4, 3)
+    gaps = feet[:, :, 2] - np.asarray(
+        jax.vmap(lambda x: model.elevation(x))(
+            jnp.asarray(feet[:, :, 0].ravel()))).reshape(-1, 4)
+    assert gaps.min() > -1e-4, gaps.min()

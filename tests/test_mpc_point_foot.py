@@ -1,0 +1,74 @@
+"""Closed-loop CIMPC on the 18-DoF point-foot quadruped (reference
+configs: ``examples/point_foot_quadruped/flat_trot.jl:31-45`` and
+``continuous_stand.jl`` — identical objective shape to the centroidal
+quadruped)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_errors,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import CONFIGURATION
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import point_foot_quadruped as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def _objective(dims, h_mpc, dtype):
+    v_w = 1e-3 * np.concatenate([np.ones(3), 1e3 * np.ones(3),
+                                 np.ones(12)])
+    q_body = np.array([1e-2, 1e-2, 1.0]) + 4.0 * np.array([0.2, 0.2, 1.0])
+    q_w = np.concatenate([q_body, 0.3 * np.ones(3),
+                          np.tile([0.2, 0.2, 1.0], 4)])
+    return tracking_velocity_objective(
+        dims, h_mpc, q=q_w, v=v_w, u=3e-3 * np.ones(dims.nu), dtype=dtype)
+
+
+def _run(gait, h_sim, w=None):
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    dtype = jnp.float64
+    ref = from_gait(model, env, load_gait("point_foot_quadruped", gait),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc = 5, 10
+    kappa_mpc = 2.0e-4
+    obj = _objective(dims, h_mpc, dtype)
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa_mpc, max_iter=30,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+    q1, v1 = initial_conditions(ref)
+    roll = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, h_sim, h_mpc, n_sample, kappa_mpc,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-5, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2, w=w))
+    return ref, roll(q1, v1), n_sample
+
+
+def test_point_foot_trot_mpc():
+    ref, traj, n_sample = _run("inplace_trot_v1", 100)
+    assert bool(jnp.all(traj.sim_converged))
+    qe, ue, ge, be = tracking_errors(ref, traj.q, traj.u, traj.gamma,
+                                     traj.b, n_sample)
+    assert float(qe) < 0.05, float(qe)
+    assert float(jnp.min(traj.q[:, 2])) > 0.5 * float(ref.q[1, 2])
+
+
+def test_point_foot_stand_push_recovery():
+    """Stand gait under a lateral body push (the continuous_stand.jl
+    disturbance recipe: an impulse at one control period)."""
+    h_sim = 80
+    w = np.zeros((h_sim, 3))
+    w[40:45] = np.array([0.0, 5.0, 1.0]) / 5.0
+    ref, traj, n_sample = _run("stand_v0", h_sim, w=w)
+    assert bool(jnp.all(traj.sim_converged))
+    # body returns near the stance height after the push
+    assert abs(float(traj.q[-1, 2] - ref.q[1, 2])) < 0.05
+    assert abs(float(traj.q[-1, 1] - ref.q[1, 1])) < 0.1
