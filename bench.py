@@ -94,11 +94,17 @@ def main():
     # regularized structured solves does not pay for itself in closed
     # loop — health is driven by warm-start quality, not step accuracy
     refine = int(os.environ.get("CIMPC_BENCH_REFINE", "0"))
-    sim_opts = IPOptions(r_tol=(1e-8 if use_f64 else 1e-3),
+    sim_rtol = float(os.environ.get("CIMPC_BENCH_SIM_RTOL",
+                                    "1e-8" if use_f64 else "1e-3"))
+    sim_iters = int(os.environ.get("CIMPC_BENCH_SIM_ITERS",
+                                   "100" if use_f64 else "40"))
+    sim_opts = IPOptions(r_tol=sim_rtol,
                          kappa_tol=(1e-8 if use_f64 else 1e-5),
-                         max_iter=(100 if use_f64 else 40),
+                         max_iter=sim_iters,
                          undercut=float("inf"),
                          max_ls=(25 if use_f64 else 6),
+                         retries=int(os.environ.get("CIMPC_BENCH_RETRIES",
+                                                    "1")),
                          refine=refine)
     mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
                        kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,

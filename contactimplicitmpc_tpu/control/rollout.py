@@ -70,6 +70,7 @@ def mpc_rollout(
     stride_idx=(0,),
     structure_full_warm: bool = True,
     w=None,
+    sim_model: Optional[Model] = None,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -126,8 +127,13 @@ def mpc_rollout(
                            b=traj.b[:h_mpc], z=traj.z[:h_mpc],
                            theta=traj.theta[:h_mpc])
 
+    # the physics may run a different model from the controller's —
+    # robustness-to-model-mismatch studies (payload.jl:8-18 simulates the
+    # loaded quadruped under the no-load controller)
+    sim_model = sim_model or model
+
     def r_fn(z, th, kap):
-        return residual(model, env, z, th, kap)
+        return residual(sim_model, env, z, th, kap)
 
     # external disturbance forces per sim step ((T, nw); zero if absent) —
     # the OpenLoopDisturbance analog for the fused rollout

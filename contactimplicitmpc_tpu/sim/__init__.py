@@ -7,3 +7,4 @@ from .simulator import (PolicyObs, SimTrajectory, default_sim_options,
                         impulse_disturbances, open_loop_disturbances,
                         open_loop_policy, random_disturbances, simulate,
                         status)
+from .stats import SimulatorStatistics, process, time_policy

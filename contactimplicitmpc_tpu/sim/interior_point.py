@@ -62,6 +62,9 @@ class IPOptions:
     #                             MPC tests set 0.05, sim path 0.25 —
     #                             simulator.jl:30, mpc_flamingo.jl:58)
     diff_sol: bool = False
+    retries: int = 0            # cold-restart attempts after a failed
+    #                             solve (vmap-safe recovery; converged
+    #                             lanes skip the retry loop at zero cost)
     refine: int = 0             # iterative-refinement passes per linear
     #                             solve against the factorization's own
     #                             (γ_reg-regularized) operator — corrects
@@ -394,12 +397,27 @@ def ip_solve(
         _, _, _, _, it, done = state
         return jnp.logical_and(jnp.logical_not(done), it < opts.max_iter)
 
-    r_init = residual_fn(z0, theta, jnp.zeros((), dtype))
-    rvio0, kvio0 = _violations(dims, r_init)
-    done0 = (rvio0 <= opts.r_tol) & (kvio0 <= opts.kappa_tol)
-    state = unify_varying(
-        (z0, r_init, rvio0, kvio0, jnp.zeros((), jnp.int32), done0))
-    z, _, rvio, kvio, it, done = jax.lax.while_loop(cond, body, state)
+    def run_from(z_start, it0):
+        r_init = residual_fn(z_start, theta, jnp.zeros((), dtype))
+        rvio0, kvio0 = _violations(dims, r_init)
+        done0 = (rvio0 <= opts.r_tol) & (kvio0 <= opts.kappa_tol)
+        state = unify_varying(
+            (z_start, r_init, rvio0, kvio0, it0, done0))
+        return jax.lax.while_loop(cond, body, state)
+
+    z, _, rvio, kvio, it, done = run_from(z0, jnp.zeros((), jnp.int32))
+
+    # cold-restart retries: a warm start near a contact transition can
+    # strand the merit line search in a local minimum; restarting the
+    # failed solve from the cold initializer recovers most transients.
+    # vmap-safe and nearly free in a batch: already-converged lanes enter
+    # the retry loop with done=True and contribute zero masked iterations
+    # (the reference instead aborts the rollout, continuous_policy.jl:29-31)
+    for _ in range(opts.retries):
+        z_cold = z_initialize(dims, z0[dims.iq2], dtype, cone=cone)
+        z_start = jnp.where(done, z, z_cold)
+        z, _, rvio, kvio, it, done = run_from(z_start,
+                                              jnp.zeros((), jnp.int32))
 
     # divergence guard: a float32 solve that blows up to non-finite values
     # returns the (finite) initial iterate marked non-converged instead of

@@ -124,6 +124,19 @@ def skeleton_2d(model, q) -> Sequence[np.ndarray]:
             lines.append(np.stack([hip, knee, ankle]))
             lines.append(np.stack([heel, ankle, toe]))
         return lines
+    if name == "PushBot":
+        # pole from the origin hinge to its tip (pushbot/visuals.jl)
+        th = q[0]
+        tip = model.l * np.array([-np.sin(th), np.cos(th)])
+        return [np.stack([np.zeros(2), tip])]
+    if name == "WalledCartpole":
+        # cart at (x, 0), pole to the tip, walls at ±w
+        th, x = q[0], q[1]
+        cart = np.array([x, 0.0])
+        tip = cart + model.l * np.array([-np.sin(th), np.cos(th)])
+        wl = np.stack([[-model.w, 0.0], [-model.w, model.l]])
+        wr = np.stack([[model.w, 0.0], [model.w, model.l]])
+        return [np.stack([cart, tip]), wl, wr]
     k = np.asarray(model.kinematics(q))
     return [k[i:i + 1] for i in range(k.shape[0])]
 

@@ -1,0 +1,97 @@
+"""Quadruped trot with an unmodeled 3 kg payload: the simulator runs the
+loaded model while the controller plans with the nominal one.
+
+Mirror of ``/root/reference/examples/quadruped/payload.jl`` (controller
+from ``s_no_load``, simulator from the payload simulation; N_sample=5,
+H_mpc=10, κ=1e-4, altitude updates on).
+
+Run: python examples/quadruped_payload.py [--steps 2100] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2100)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_error, tracking_objective)
+    from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import quadruped, quadruped_payload
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(quadruped, env)
+    ref = from_gait(quadruped, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 1.0e-4
+    h = float(ref.h)
+
+    # payload.jl:36-40
+    qw = 1e-2 * np.array([10.0, 0.02, 0.25] + [0.5] * 8)
+    obj = tracking_objective(
+        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+        u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        quadruped, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        sim_opts=sim_opts, warm_start_floor=1e-2,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05),
+        sim_model=quadruped_payload))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    wall = time.time() - t0
+
+    qe, ue, ge, be = tracking_error(ref, out.q, out.u, out.gamma, out.b,
+                                    n_sample, idx_shift=(0,))
+    print(f"sim converged: {float(out.sim_converged.mean()):.3f}")
+    print(f"tracking under 3 kg payload: q={qe:.4f} u={ue:.4f}")
+    print(f"speed ratio: {args.steps * h / n_sample / wall:.2f}x real time")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(quadruped, np.asarray(out.q), path=args.gif, every=10)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

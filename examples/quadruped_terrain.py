@@ -1,0 +1,105 @@
+"""Quadruped trotting over non-flat terrain with online terrain-height
+discovery (altitude updates).
+
+Mirror of ``/root/reference/examples/quadruped/piecewise.jl`` and
+``sine.jl``: the controller plans with the flat-ground gait while the
+simulation runs on the piecewise slope / sine terrain; `update_altitude`
+injects the discovered contact heights into the impact rows
+(mpc_utils.jl:109-135).
+
+Run: python examples/quadruped_terrain.py [--terrain piecewise|sine]
+     [--steps 1000] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--terrain", choices=["piecewise", "sine"],
+                    default="piecewise")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_objective)
+    from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = (ci.piecewise1_2d_lc if args.terrain == "piecewise"
+           else ci.sine2_2d_lc)
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 1.0e-4
+    h = float(ref.h)
+
+    # piecewise.jl:32-35
+    qw = 1e-2 * np.array([5.0, 0.02, 0.10] + [0.25] * 8)
+    obj = tracking_objective(
+        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+        u=3e-2 * np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=(1e-8 if args.f64 else 1e-3),
+                         kappa_tol=(1e-8 if args.f64 else 1e-5),
+                         max_iter=(100 if args.f64 else 40),
+                         undercut=float("inf"),
+                         max_ls=(25 if args.f64 else 6))
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05)))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    wall = time.time() - t0
+
+    q = np.asarray(out.q)
+    print(f"sim converged: {float(out.sim_converged.mean()):.3f}")
+    print(f"forward progress on {args.terrain}: "
+          f"{q[-1, 0] - q[1, 0]:.3f} m over {args.steps} steps")
+    print(f"speed ratio: {args.steps * h / n_sample / wall:.2f}x real time")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(model, q, env=env, path=args.gif, every=10)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""SimulatorStatistics / process! / speed-ratio parity
+(examples/quadruped/flat.jl:77-79, SimulatorStatistics fields)."""
+
+import numpy as np
+
+from contactimplicitmpc_tpu.sim import SimulatorStatistics, process
+
+
+def test_process_speed_ratio():
+    # 100 sim steps at h=0.01 (1.0 s simulated), N_sample=5 -> 20 updates;
+    # 2 ms per update -> 0.04 s compute -> speed ratio 25x
+    stats = process(np.full(8, 2.0e-3), h_sim=0.01, n_sample=5,
+                    horizon_sim=100)
+    assert isinstance(stats, SimulatorStatistics)
+    assert abs(stats.policy_time_mean - 2.0e-3) < 1e-9
+    assert abs(stats.speed_ratio - 25.0) < 1e-6
+    assert stats.policy_time_std < 1e-12
+
+
+def test_process_subrealtime():
+    stats = process(np.full(4, 0.5), h_sim=0.01, n_sample=5,
+                    horizon_sim=100)
+    assert stats.speed_ratio < 1.0

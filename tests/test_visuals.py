@@ -39,6 +39,12 @@ def test_skeletons():
     lines = skeleton_2d(quadruped, qq)
     assert len(lines) == 5
 
+    from contactimplicitmpc_tpu.models import pushbot, walledcartpole
+    lines = skeleton_2d(pushbot, jnp.asarray([0.1, 0.0]))
+    assert len(lines) == 1 and lines[0].shape == (2, 2)
+    lines = skeleton_2d(walledcartpole, jnp.asarray([0.1, 0.05, 0.0, 0.0]))
+    assert len(lines) == 3
+
 
 def test_animation(tmp_path):
     qs = np.tile(np.array([0.0, 0.6, 0.0, 0.5]), (20, 1))
