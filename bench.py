@@ -104,7 +104,7 @@ def main():
                          undercut=float("inf"),
                          max_ls=(25 if use_f64 else 6),
                          retries=int(os.environ.get("CIMPC_BENCH_RETRIES",
-                                                    "1")),
+                                                    "0")),
                          refine=refine)
     mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
                        kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
@@ -114,6 +114,11 @@ def main():
     q1, v1 = initial_conditions(ref)
     key = jax.random.PRNGKey(0)
     offsets = 0.01 * jax.random.normal(key, (batch, dims.nq), dtype)
+    # lane 0 runs the reference's own unperturbed initial condition
+    # (mpc_quadruped.jl:51-53) — its tracking error is the
+    # apples-to-apples comparison against the published nominal 0.0201;
+    # the batch means cover the perturbed Monte-Carlo distribution
+    offsets = offsets.at[0].set(0.0)
     q1s = q1[None, :] + offsets.at[:, 2:].multiply(0.1)
     v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
 
@@ -125,15 +130,18 @@ def main():
     # mode at Monte-Carlo batch sizes, same tracking error
     newton_mode = os.environ.get("CIMPC_BENCH_NEWTON", "structure")
 
+    newton_iters = int(os.environ.get("CIMPC_BENCH_NEWTON_ITERS", "5"))
+
     def rollout(q, v):
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
                            n_sample, kappa_mpc, CONFIGURATION, q, v,
-                           n_opts=NewtonOptions(r_tol=3e-4, max_iter=5,
+                           n_opts=NewtonOptions(r_tol=3e-4,
+                                                max_iter=newton_iters,
                                                 fixed_ip_iters=fixed_iters),
                            ip_opts=mpc_ip, sim_opts=sim_opts,
                            warm_start_floor=1e-2, newton_mode=newton_mode,
                            structure_full_warm=os.environ.get(
-                               "CIMPC_BENCH_STRUCT_WARM", "1") == "1")
+                               "CIMPC_BENCH_STRUCT_WARM", "0") == "1")
 
     mesh = make_mesh(n_dev)
     assert batch % n_dev == 0, (batch, n_dev)
@@ -146,13 +154,21 @@ def main():
     log(f"compile+first run: {time.time() - t0:.1f}s "
         f"(cache: {cache_dir})")
 
-    # warm timing
+    # warm timing; CIMPC_BENCH_PROFILE=<dir> captures an xprof trace of
+    # the timed region (jax.profiler; the reference's per-stage @elapsed
+    # accounting maps to trace spans here — SURVEY.md §5 tracing row)
+    profile_dir = os.environ.get("CIMPC_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         traj, stats = run(q1s, v1s)
         jax.block_until_ready(stats)
     dt = (time.time() - t0) / reps
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"xprof trace written to {profile_dir}")
 
     n_solves = batch * (h_sim_steps // n_sample)
     solves_per_s = n_solves / dt
@@ -167,6 +183,14 @@ def main():
         f"q_err={float(stats.q_err):.4f} u_err={float(stats.u_err):.4f} "
         f"gamma_err={float(stats.gamma_err):.3f} "
         f"b_err={float(stats.b_err):.4f}")
+    from contactimplicitmpc_tpu.control.trajectory import tracking_errors
+    qe0, ue0, ge0, be0 = tracking_errors(
+        ref, traj.q[0], traj.u[0], traj.gamma[0], traj.b[0], n_sample)
+    log(f"nominal lane (unperturbed init, reference contract "
+        f"mpc_quadruped.jl:61): q_err={float(qe0):.4f} "
+        f"u_err={float(ue0):.4f} gamma_err={float(ge0):.3f} "
+        f"b_err={float(be0):.4f} "
+        f"ok={bool(jnp.all(traj.sim_converged[0]))}")
     log(f"observability: newton_iters/ctrl={float(stats.mean_newton_iters):.2f} "
         f"ip_iters/sim_step={float(stats.mean_sim_iters):.2f} "
         f"newton_r_norm={float(stats.mean_r_norm):.2e}")

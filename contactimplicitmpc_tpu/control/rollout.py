@@ -71,6 +71,7 @@ def mpc_rollout(
     structure_full_warm: bool = True,
     w=None,
     sim_model: Optional[Model] = None,
+    sim_env=None,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -127,13 +128,15 @@ def mpc_rollout(
                            b=traj.b[:h_mpc], z=traj.z[:h_mpc],
                            theta=traj.theta[:h_mpc])
 
-    # the physics may run a different model from the controller's —
+    # the physics may run a different model/terrain from the controller's —
     # robustness-to-model-mismatch studies (payload.jl:8-18 simulates the
-    # loaded quadruped under the no-load controller)
+    # loaded quadruped under the no-load controller; parkour.jl runs the
+    # stairs terrain under the flat-ground MPC model + altitude updates)
     sim_model = sim_model or model
+    sim_env = sim_env or env
 
     def r_fn(z, th, kap):
-        return residual(sim_model, env, z, th, kap)
+        return residual(sim_model, sim_env, z, th, kap)
 
     # external disturbance forces per sim step ((T, nw); zero if absent) —
     # the OpenLoopDisturbance analog for the fused rollout

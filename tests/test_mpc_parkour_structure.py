@@ -1,0 +1,60 @@
+"""Structure-mode parkour: the hopper climbs the hard 4-step staircase
+with the O(H) Riccati Newton and online altitude discovery, through the
+compile-lean rollout (reference recipe: ``examples/hopper/parkour.jl``
+stairs phase — flat-ground MPC model + altitude offsets, x+z stride)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import (
+    CONFIGURATION, default_mpc_ip_options)
+from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import hopper_2d as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_structure_mode_parkour_stairs():
+    env = ci.flat_2d_lc                 # MPC model: flat + altitude rows
+    sim_env = ci.stairs3_2d_lc          # simulated terrain: hard stairs
+    dims = dims_of(model, env)
+    dtype = jnp.float64
+    ref = from_gait(model, env, load_gait("hopper_2D", "hopper_stair_ref"),
+                    dtype=dtype)
+    n_sample, h_mpc, kappa = 10, 10, 2.0e-4
+    steps = 240 * n_sample
+
+    # parkour.jl:43-48: front-loaded q weights, light tail
+    q_w = np.concatenate([
+        np.tile(1e-0 * np.array([1e1, 1e-1, 1.0, 1.0]), (h_mpc - 5, 1)),
+        np.tile(1e-1 * np.array([1.0, 1e-1, 1e1, 0.1]), (5, 1))])
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e-2, 1, 1, 10]), (h_mpc, 1)),
+        q=q_w, u=np.ones((h_mpc, dims.nu)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=default_mpc_ip_options(kappa, max_iter=30),
+        warm_start_floor=1e-2, newton_mode="structure",
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.1),
+        stride_idx=(0, 1), sim_env=sim_env))
+    traj = fn(q1, v1)
+
+    assert bool(jnp.all(traj.sim_converged))
+    q = np.asarray(traj.q)
+    # staircase top landing: z = 0.75 for x in [0.625, 0.875]
+    assert q[-1, 0] > 0.6, q[-1, 0]       # reached the top step in x
+    assert q[-1, 1] > 0.7, q[-1, 1]       # body above the top landing

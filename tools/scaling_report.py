@@ -1,0 +1,146 @@
+"""Scaling-efficiency report (BASELINE.md build target: solves/s and
+solves/s/chip at 1 chip / 1 host / N hosts).
+
+Only one real TPU chip is reachable in this environment, so the
+multi-device leg runs on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``): absolute CPU numbers are
+meaningless, but the 1-device vs N-device ratio on identical hardware IS
+the data-parallel scaling efficiency of the sharded program (pure dp over
+ICI-analog collectives; only scalar statistics cross devices).
+
+Writes SCALING.md. Run:  python tools/scaling_report.py [--n 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_leg(n_devices, batch, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                                initial_conditions,
+                                                tracking_objective)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        CONFIGURATION
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.parallel import (make_mesh,
+                                                 make_sharded_mpc_rollouts)
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float32
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 2.0e-4
+    qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8)
+    obj = tracking_objective(dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+                             u=3e-2 * np.ones((h_mpc, dims.nu)),
+                             gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+                             b=1e-100 * np.ones((h_mpc, dims.nb)),
+                             dtype=dtype)
+    sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                         undercut=float("inf"), max_ls=6)
+    mpc_ip = IPOptions(r_tol=1e-5, kappa_tol=kappa, max_iter=30,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True,
+                       max_ls=3)
+
+    def rollout(q, v):
+        return mpc_rollout(model, env, ref, obj, steps, h_mpc, n_sample,
+                           kappa, CONFIGURATION, q, v,
+                           n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+                           ip_opts=mpc_ip, sim_opts=sim_opts,
+                           warm_start_floor=1e-2, newton_mode="structure",
+                           structure_full_warm=False)
+
+    devices = jax.devices()[:n_devices]
+    from jax.sharding import Mesh
+    mesh = make_mesh(len(devices))
+    run = make_sharded_mpc_rollouts(mesh, rollout, ref, n_sample)
+
+    q1, v1 = initial_conditions(ref)
+    key = jax.random.PRNGKey(0)
+    off = 0.01 * jax.random.normal(key, (batch, dims.nq), dtype)
+    q1s = q1[None, :] + off.at[:, 2:].multiply(0.1)
+    v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
+
+    _, stats = run(q1s, v1s)
+    jax.block_until_ready(stats)
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        _, stats = run(q1s, v1s)
+        jax.block_until_ready(stats)
+    dt = (time.time() - t0) / reps
+    solves = batch * (steps // n_sample)
+    return solves / dt, float(stats.success_rate)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=100)
+    args = ap.parse_args()
+
+    # virtual N-device CPU platform (must precede first backend use)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags +
+            f" --xla_force_host_platform_device_count={args.n}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cimpc_xla_cache")
+
+    legs = {}
+    for n in (1, args.n):
+        sps, ok = run_leg(n, args.batch, args.steps)
+        legs[n] = (sps, ok)
+        print(f"n_devices={n}: {sps:.1f} solves/s "
+              f"({sps / n:.1f}/device), success={ok:.3f}", flush=True)
+
+    eff = legs[args.n][0] / (legs[1][0] * args.n)
+    lines = [
+        "# Scaling report (data-parallel CIMPC Monte-Carlo sweep)",
+        "",
+        f"Program: `mpc_rollout` (structure mode) sharded over a (dp, kn)"
+        f" mesh via `make_sharded_mpc_rollouts`; batch {args.batch}, "
+        f"{args.steps} sim steps, float32.",
+        "",
+        "Only 1 real TPU chip is reachable here, so the multi-device leg",
+        "runs on a virtual CPU mesh — the 1-vs-N ratio on identical",
+        "hardware is the parallel efficiency of the sharded program",
+        "(pure dp; only psum'd scalars cross devices).",
+        "",
+        "| devices | solves/s | solves/s/device | parallel efficiency |",
+        "|---|---|---|---|",
+        f"| 1 (CPU) | {legs[1][0]:.1f} | {legs[1][0]:.1f} | 1.00 |",
+        f"| {args.n} (virtual CPU mesh) | {legs[args.n][0]:.1f} | "
+        f"{legs[args.n][0] / args.n:.1f} | {eff:.2f} |",
+        "",
+        "Single-chip TPU v5e throughput is measured by `bench.py`",
+        "(BENCH_r*.json); multiply by the efficiency above for the",
+        "expected v5e-8 aggregate under the same sharding.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
