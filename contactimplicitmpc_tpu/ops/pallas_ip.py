@@ -73,7 +73,11 @@ def _gj_inverse_lanes(a):
         upd = ab - col[:, None, :] * row[None, :, :]
         return jnp.where(rows == k, row[None, :, :], upd)
 
-    ab = jax.lax.fori_loop(0, n, step, ab, unroll=True)
+    # concrete-index Python loop: Pallas TPU lowering has no
+    # dynamic_slice, so the pivot row access ab[k] must use a static k
+    # (a fori_loop would trace k). n ≤ ~16, so full unrolling is cheap.
+    for k in range(n):
+        ab = step(k, ab)
     return ab[:, n:, :]
 
 

@@ -1,0 +1,110 @@
+"""Centroidal quadruped standing beside a box step, pushed toward it.
+
+Mirror of ``/root/reference/examples/centroidal_quadruped_box/
+continuous_step_over_box.jl``: the box terrain is baked into the model's
+signed-distance ϕ (``src/dynamics/centroidal_quadruped_box/model.jl:
+87-107``); the MPC (stand gait, H_mpc=10, N_sample=5, κ=2e-4) absorbs a
+lateral push toward the step without foot penetration.
+
+Run: python examples/centroidal_box_push.py [--steps 160] [--f64] [--gif out.gif]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=160)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, NewtonOptions, from_gait, initial_conditions,
+        tracking_errors, tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import centroidal_quadruped_box as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env,
+                    load_gait("centroidal_quadruped", "stand_v0"),
+                    update_friction=True, dtype=dtype)
+    n_sample, h_mpc, kappa = 5, 10, 2.0e-4
+    h = float(ref.h)
+
+    v_w = 1e-3 * np.concatenate([np.ones(3), 1e3 * np.ones(3),
+                                 np.ones(12)])
+    q_body = np.array([1e-2, 1e-2, 1.0]) + 4.0 * np.array([0.2, 0.2, 1.0])
+    q_w = np.concatenate([q_body, 0.3 * np.ones(3),
+                          np.tile([0.2, 0.2, 1.0], 4)])
+    obj = tracking_velocity_objective(
+        dims, h_mpc, q=q_w, v=v_w, u=3e-3 * np.ones(dims.nu), dtype=dtype)
+
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa, max_iter=30,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=(1e-8 if args.f64 else 1e-3),
+                         kappa_tol=(1e-8 if args.f64 else 1e-5),
+                         max_iter=(100 if args.f64 else 40),
+                         undercut=float("inf"),
+                         max_ls=(25 if args.f64 else 6))
+
+    # push toward the box step at control period 8
+    w = np.zeros((args.steps, 3))
+    i0 = 8 * n_sample
+    w[i0:i0 + n_sample] = np.array([3.0, 0.0, 0.0]) / n_sample
+
+    q1, v1 = initial_conditions(ref)
+    fn = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-5, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2, w=w))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    out = jax.block_until_ready(fn(q1.astype(dtype), v1.astype(dtype)))
+    wall = time.time() - t0
+
+    q = np.asarray(out.q)
+    print(f"sim converged: {float(out.sim_converged.mean()):.3f}")
+    qe, *_ = tracking_errors(ref, out.q, out.u, out.gamma, out.b, n_sample)
+    print(f"tracking q_err: {float(qe):.4f}")
+    # foot clearance against the box surface (model.elevation)
+    feet = q[:, 6:].reshape(-1, 4, 3)
+    gaps = feet[:, :, 2] - np.asarray(
+        jax.vmap(lambda x: model.elevation(x))(
+            jnp.asarray(feet[:, :, 0].ravel(), dtype))).reshape(-1, 4)
+    print(f"min foot-to-box gap: {gaps.min():+.5f} m (>=0 means no "
+          f"penetration)")
+    print(f"speed ratio: {args.steps * h / n_sample / wall:.2f}x real time")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_3d
+        animate_3d(model, q, env=env, path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

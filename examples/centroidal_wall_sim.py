@@ -1,0 +1,75 @@
+"""Centroidal quadruped sliding into a wall (8-contact variant).
+
+Mirror of ``/root/reference/examples/centroidal_quadruped/wall_sim.jl``:
+the wall model (``src/dynamics/centroidal_quadruped_wall/model.jl``,
+nc=8: 4 foot-ground + 4 foot-wall contacts) stops the feet exactly at
+``x_wall`` under the full NCP physics — the contact-geometry validation
+for the wall-climb scenarios. ``--slanted`` switches to the slanted-wall
+instance (``model_slanted.jl``, wall at x=1.0).
+
+Run: python examples/centroidal_wall_sim.py [--steps 60] [--slanted]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--slanted", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.models import (
+        centroidal_quadruped_wall, centroidal_quadruped_wall_slanted)
+
+    model = (centroidal_quadruped_wall_slanted if args.slanted
+             else centroidal_quadruped_wall)
+    env = ci.flat_3d_lc
+
+    # stance: body at 0.3 m, feet in the standard square, sliding +x
+    foot_xy = np.array([[0.1, 0.1], [0.1, -0.1], [-0.1, 0.1],
+                        [-0.1, -0.1]])
+    q1 = np.zeros(18)
+    q1[2] = 0.3
+    for i, (fx, fy) in enumerate(foot_xy):
+        q1[6 + 3 * i:9 + 3 * i] = [fx, fy, 0.05]
+    v1 = np.zeros(18)
+    v1[6::3] = 10.0  # all feet launched toward the wall
+
+    fn = jax.jit(lambda q, v: ci.simulate(model, env, args.steps, 0.01,
+                                          q, v))
+    t0 = time.time()
+    traj = jax.block_until_ready(fn(jnp.asarray(q1), jnp.asarray(v1)))
+    print(f"compile+run: {time.time() - t0:.1f}s")
+
+    q = np.asarray(traj.q)
+    feet_x = q[:, 6::3]
+    print(f"sim status: {bool(ci.status(traj))}")
+    print(f"wall at x = {model.x_wall}; max foot x = {feet_x.max():.4f} "
+          f"(penetration {max(0.0, feet_x.max() - model.x_wall):.1e} m)")
+    print(f"feet at rest: max |v_x| last step = "
+          f"{np.abs(feet_x[-1] - feet_x[-2]).max() / 0.01:.3f} m/s")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_3d
+        animate_3d(model, q, env=env, path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Microbenchmark: the per-knot linearized IP solve, three ways.
+
+Workload = the bench program's inner op: batch 256 rollout lanes x H-1=9
+MPC knots of the flat-ground quadruped gait (flattened N=2304 instances),
+each a fixed-iteration Mehrotra solve on the pre-linearized residual
+(implicit_dynamics.jl:156-192 analog).
+
+Paths:
+  xla_fixed   vmap(ops.fixed_ip.linearized_ip_fixed)   [product path
+              when NewtonOptions.fixed_ip_iters > 0]
+  pallas      ops.pallas_ip.linearized_ip_fixed_pallas [fused VMEM kernel]
+  xla_adapt   vmap(ip_solve) adaptive while-loop       [product default]
+
+Prints solves/s for each on the current default device. Run on the real
+TPU to decide which belongs on the default bench path (VERDICT item 1c).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/cimpc_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait, linearize_trajectory
+from contactimplicitmpc_tpu.control.linearized import (
+    gather, linearized_residual_fns, make_schur_solver)
+from contactimplicitmpc_tpu.models import quadruped
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.ops.fixed_ip import linearized_ip_fixed
+from contactimplicitmpc_tpu.ops.pallas_ip import linearized_ip_fixed_pallas
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions, ip_solve
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+BATCH = 256
+ITERS = 8
+
+
+def main():
+    model, env = quadruped, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    kappa = 2.0e-4
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True, dtype=jnp.float32)
+    lin_full = linearize_trajectory(model, env, ref, kappa)
+    h_knots = 9  # H_mpc-1 stages, like the structure-mode bench program
+    lin = gather(lin_full, jnp.arange(h_knots))
+
+    key = jax.random.PRNGKey(0)
+    # batch of warm MPC knots: theta perturbed off the linearization point
+    theta = (lin.theta0[None] + 0.003 * jax.random.normal(
+        key, (BATCH,) + lin.theta0.shape, jnp.float32))
+    q2 = jnp.broadcast_to(ref.q[2:2 + h_knots], (BATCH, h_knots, dims.nq))
+    alt = jnp.zeros((dims.nc,), jnp.float32)
+    n = BATCH * h_knots
+
+    def flat(x):
+        return jnp.broadcast_to(x[None], (BATCH,) + x.shape).reshape(
+            (n,) + x.shape[1:])
+
+    fz0, fth0, fr0, frz0, frt0 = map(
+        flat, (lin.z0, lin.theta0, lin.r0, lin.rz0, lin.rtheta0))
+    falt = jnp.broadcast_to(alt, (n, dims.nc))
+    fth = theta.reshape(n, -1)
+    fq2 = q2.reshape(n, dims.nq)
+
+    opts = IPOptions(r_tol=2e-5, kappa_tol=kappa, max_iter=ITERS,
+                     undercut=5.0, gamma_reg=0.1, max_ls=3, refine=0,
+                     diff_sol=True)
+
+    def timeit(name, fn, *args):
+        out = jax.block_until_ready(fn(*args))  # compile + warm
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            out = jax.block_until_ready(fn(*args))
+        dt = (time.time() - t0) / reps
+        conv = out[1] if isinstance(out, tuple) else out.converged
+        print(f"{name:>10}: {n / dt:>12.0f} knot-solves/s  "
+              f"({dt * 1e3:.2f} ms/batch, converged "
+              f"{float(jnp.mean(conv.astype(jnp.float32))):.3f})",
+              file=sys.stderr, flush=True)
+        return n / dt
+
+    xla_fixed = jax.jit(jax.vmap(
+        lambda z0, th0, r0, rz0, rt0, a, th, q:
+        linearized_ip_fixed(dims, z0, th0, r0, rz0, rt0, a, th, q, opts,
+                            iters=ITERS)))
+    timeit("xla_fixed", xla_fixed, fz0, fth0, fr0, frz0, frt0, falt, fth,
+           fq2)
+
+    timeit("pallas", lambda *a: linearized_ip_fixed_pallas(
+        dims, *a, opts, ITERS, False),
+        fz0, fth0, fr0, frz0, frt0, falt, fth, fq2)
+
+    aopts = opts._replace(max_iter=30)
+
+    def adaptive(z0l, th0, r0, rz0, rt0, a, th, q):
+        r_fn, rz_fn, rt_fn = linearized_residual_fns(
+            dims, z0l, th0, r0, rz0, rt0, a)
+        z0 = jnp.ones((dims.nz,), th.dtype).at[dims.iq2].set(q)
+        return ip_solve(dims, r_fn, z0, th, aopts, jacobian_fn=rz_fn,
+                        rtheta_fn=rt_fn,
+                        linear_solver=make_schur_solver(dims, rz0, aopts))
+
+    xla_adapt = jax.jit(jax.vmap(adaptive))
+    timeit("xla_adapt", xla_adapt, fz0, fth0, fr0, frz0, frt0, falt, fth,
+           fq2)
+
+
+if __name__ == "__main__":
+    main()
