@@ -127,3 +127,46 @@ def mgs_solve(a, b):
     q, r = mgs_qr(a)
     qtb = pdot(q.T, b)
     return jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
+
+
+def ldl_factor(a, boost: float = 0.0):
+    """Unpivoted LDLᵀ of a symmetric (quasi-definite) matrix — the role
+    the reference fills with QDLDL for the Newton KKT
+    (``src/solver/ldl.jl:4-180``; the ±β-regularized horizon KKT is SQD,
+    so no pivoting is needed — Vanderbei 1995, same argument as the
+    module docstring). Returns (L, d) with L unit lower triangular and d
+    the diagonal of D.
+
+    n sequential rank-1 trailing updates, elementwise across a vmapped
+    batch — the same TPU-friendly shape as ``gj_inverse``.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    boost = jnp.asarray(boost if boost else jnp.finfo(dtype).tiny, dtype)
+    rows = jnp.arange(n)
+
+    def step(k, carry):
+        work, l = carry
+        piv = _boost_pivot(work[k, k], boost)
+        col = jnp.where(rows > k, work[:, k] / piv, 0.0)  # L column k
+        work = work - piv * jnp.outer(col, col)
+        l = l.at[:, k].set(jnp.where(rows == k, 1.0, col))
+        return work, l
+
+    work, l = jax.lax.fori_loop(
+        0, n, step, (a, jnp.zeros((n, n), dtype)), unroll=min(8, n))
+    return l, jnp.diagonal(work)
+
+
+def ldl_solve(a, b, boost: float = 0.0):
+    """Solve ``a x = b`` with ``a`` symmetric via LDLᵀ
+    (``linear_solve!``, src/solver/ldl.jl — QDLDL's solve phase).
+    ``b`` may be a vector or matrix of right-hand sides."""
+    l, d = ldl_factor(a, boost)
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True,
+                                          unit_diagonal=True)
+    dtype = a.dtype
+    dsafe = _boost_pivot(d, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    y = y / (dsafe[:, None] if b.ndim > 1 else dsafe)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False,
+                                             unit_diagonal=True)

@@ -77,3 +77,22 @@ def test_point_foot_quadruped_stand_gait_residual():
 
     norms = jax.vmap(rnorm)(ref.z, ref.theta)
     assert float(jnp.max(norms)) < 1.0e-2, float(jnp.max(norms))
+
+
+def test_centroidal_undamped_instance():
+    """The undamped variant (model.jl undamped instance: zero joint
+    friction) drops the velocity damping but keeps identical mass/contact
+    structure; an undamped standing sim still converges."""
+    from contactimplicitmpc_tpu.models import centroidal_quadruped_undamped
+    model = centroidal_quadruped_undamped
+    assert all(f == 0.0 for f in model.joint_friction)
+    assert model.joint_friction != centroidal_quadruped.joint_friction
+    env = ci.flat_3d_lc
+    ref = from_gait(centroidal_quadruped, env,
+                    load_gait("centroidal_quadruped", "stand_v0"))
+    q1, v1 = initial_conditions(ref)
+    policy = ci.open_loop_policy(jnp.tile(ref.u[0][None], (20, 1)),
+                                 n_sample=1)
+    traj = jax.jit(lambda: ci.simulate(
+        model, env, 20, float(ref.h), q1, v1, policy=policy))()
+    assert bool(ci.status(traj))

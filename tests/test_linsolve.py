@@ -59,3 +59,31 @@ def test_gj_pivot_boost_zero_diagonal():
     a = jnp.eye(4).at[0, 0].set(0.0).at[0, 1].set(1.0).at[1, 0].set(1.0)
     x = gj_solve(a, jnp.ones((4,)), boost=1e-12)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_ldl_factor_oracle():
+    """LDLᵀ reconstructs a symmetric quasi-definite KKT (ldl.jl role:
+    the ±β-regularized Newton KKT, newton.jl:280)."""
+    from contactimplicitmpc_tpu.ops.linsolve import ldl_factor
+    key = jax.random.PRNGKey(3)
+    n = 14
+    g = jax.random.normal(key, (8, 8))
+    c = jax.random.normal(jax.random.PRNGKey(4), (6, 8))
+    a = jnp.block([[g @ g.T + 0.1 * jnp.eye(8), c.T],
+                   [c, -0.1 * jnp.eye(6)]])
+    l, d = ldl_factor(a)
+    np.testing.assert_allclose(np.asarray(l @ jnp.diag(d) @ l.T),
+                               np.asarray(a), atol=1e-6)
+    assert np.allclose(np.asarray(jnp.triu(l, 1)), 0.0)  # lower triangular
+    assert (np.asarray(d)[:8] > 0).all() and (np.asarray(d)[8:] < 0).all()
+
+
+def test_ldl_solve_oracle_and_vmap():
+    from contactimplicitmpc_tpu.ops.linsolve import ldl_solve
+    key = jax.random.PRNGKey(5)
+    n = 12
+    a0 = jax.random.normal(key, (4, n, n))
+    a = a0 @ jnp.swapaxes(a0, 1, 2) + 0.5 * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(6), (4, n, 3))
+    x = jax.vmap(ldl_solve)(a, b)
+    np.testing.assert_allclose(np.asarray(a @ x), np.asarray(b), atol=1e-7)

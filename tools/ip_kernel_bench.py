@@ -97,9 +97,14 @@ def main():
     timeit("xla_fixed", xla_fixed, fz0, fth0, fr0, frz0, frt0, falt, fth,
            fq2)
 
-    timeit("pallas", lambda *a: linearized_ip_fixed_pallas(
-        dims, *a, opts, ITERS, False),
-        fz0, fth0, fr0, frz0, frt0, falt, fth, fq2)
+    try:
+        timeit("pallas", lambda *a: linearized_ip_fixed_pallas(
+            dims, *a, opts, ITERS, False),
+            fz0, fth0, fr0, frz0, frt0, falt, fth, fq2)
+    except Exception as e:  # Mosaic TC lowering of the unrolled GJ
+        print(f"    pallas: FAILED TO COMPILE ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]})", file=sys.stderr,
+              flush=True)
 
     aopts = opts._replace(max_iter=30)
 
