@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..dims import Dims
 from ..sim.interior_point import IPOptions, _step_length
+from ..utils.vma import unify_varying
 from .linsolve import gj_inverse, pdot
 
 
@@ -168,8 +169,8 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         z = jnp.where(done | done_now, z, z_new)
         return (z, done | done_now)
 
-    z, done = jax.lax.fori_loop(0, iters, body,
-                                (z_init, jnp.zeros((), bool)))
+    z, done = jax.lax.fori_loop(
+        0, iters, body, unify_varying((z_init, jnp.zeros((), bool))))
 
     r_final = residual(z, jnp.zeros((), dtype))
     rvio, kvio = violations(r_final)

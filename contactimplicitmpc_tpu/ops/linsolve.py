@@ -146,16 +146,22 @@ def ldl_factor(a, boost: float = 0.0):
     rows = jnp.arange(n)
 
     def step(k, carry):
-        work, l = carry
+        work, l, d = carry
         piv = _boost_pivot(work[k, k], boost)
         col = jnp.where(rows > k, work[:, k] / piv, 0.0)  # L column k
         work = work - piv * jnp.outer(col, col)
         l = l.at[:, k].set(jnp.where(rows == k, 1.0, col))
-        return work, l
+        # d must carry the SAME boosted pivot that scaled L's column, so
+        # L diag(d) Lᵀ reproduces the boost-regularized matrix (returning
+        # the raw near-zero work[k,k] would defeat the guard exactly in
+        # the degenerate case it targets)
+        d = d.at[k].set(piv)
+        return work, l, d
 
-    work, l = jax.lax.fori_loop(
-        0, n, step, (a, jnp.zeros((n, n), dtype)), unroll=min(8, n))
-    return l, jnp.diagonal(work)
+    _, l, d = jax.lax.fori_loop(
+        0, n, step, (a, jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype)),
+        unroll=min(8, n))
+    return l, d
 
 
 def ldl_solve(a, b, boost: float = 0.0):
@@ -166,7 +172,10 @@ def ldl_solve(a, b, boost: float = 0.0):
     y = jax.scipy.linalg.solve_triangular(l, b, lower=True,
                                           unit_diagonal=True)
     dtype = a.dtype
-    dsafe = _boost_pivot(d, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    # d is already boost-floored by ldl_factor; this re-floor (with the
+    # caller's boost, not finfo.tiny) only guards a user-supplied d=0
+    dsafe = _boost_pivot(
+        d, jnp.asarray(boost if boost else jnp.finfo(dtype).tiny, dtype))
     y = y / (dsafe[:, None] if b.ndim > 1 else dsafe)
     return jax.scipy.linalg.solve_triangular(l.T, y, lower=False,
                                              unit_diagonal=True)

@@ -1,0 +1,109 @@
+"""Multi-host (multi-process) scaling: jax.distributed initialization and
+the dp-over-DCN × kn-over-ICI mesh layout.
+
+The reference is single-process Julia with no distributed backend at all
+(SURVEY.md §2.10); its Monte-Carlo studies are serial for-loops
+(``examples/hopper/monte_carlo.jl:78-91``). The TPU-native scaling story
+runs those sweeps over a multi-host slice/pod:
+
+* Every host runs THIS same program (SPMD). ``initialize()`` wires the
+  processes together via the coordinator service; afterwards
+  ``jax.devices()`` is the *global* device list.
+* Monte-Carlo lanes only exchange scalar sweep statistics (one ``psum``
+  per sweep), so the data-parallel ``dp`` axis is the one laid across
+  hosts — its collectives are tiny and tolerate DCN latency. The ``kn``
+  axis (any intra-sweep batching that might someday communicate more)
+  stays within a host so its collectives ride ICI. ``make_global_mesh``
+  encodes exactly that layout.
+* Per-process batch shards are assembled into one global array with
+  ``jax.make_array_from_process_local_data`` — no host ever materializes
+  the full sweep.
+
+Hardware note: this build environment exposes a single chip, so the
+multi-process path is validated by a 2-process × N-virtual-CPU-device
+smoke test (``tests/test_multihost.py``) — the same program shape that
+runs on a real multi-host slice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_ids: Optional[Sequence[int]] = None) -> bool:
+    """Join the multi-process runtime; returns True if distributed.
+
+    On Cloud TPU the arguments auto-detect from the metadata server, so a
+    bare ``initialize()`` works on every host of a slice. Off-TPU (CPU
+    smoke tests, manual clusters) pass them explicitly or set
+    ``CIMPC_COORDINATOR`` / ``CIMPC_NUM_PROCESSES`` / ``CIMPC_PROCESS_ID``.
+    A plain single-process run (no arguments, no env, no TPU metadata) is
+    left untouched and returns False — every downstream helper then
+    degrades to the single-host behavior.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "CIMPC_COORDINATOR")
+    if num_processes is None and "CIMPC_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["CIMPC_NUM_PROCESSES"])
+    if process_id is None and "CIMPC_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["CIMPC_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        # bare TPU-pod auto-detection only when actually on a TPU backend
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+    return True
+
+
+def make_global_mesh(axis_names: Sequence[str] = ("dp", "kn")) -> Mesh:
+    """(n_processes × local, per-host) mesh: ``dp`` spans hosts (DCN),
+    ``kn`` spans each host's chips (ICI).
+
+    The global device array is laid out so that consecutive devices along
+    the trailing (``kn``) axis belong to one process — XLA then routes
+    ``kn`` collectives over ICI and only the ``dp``-axis scalar psums
+    cross DCN. Single-process: equivalent to ``make_mesh`` with dp=1.
+    """
+    n_proc = jax.process_count()
+    per_host = jax.local_device_count()
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    grid = np.asarray(devices).reshape(n_proc, per_host)
+    return Mesh(grid, tuple(axis_names))
+
+
+def global_batch(mesh: Mesh, local_batch: np.ndarray):
+    """Assemble per-process batch shards into one global sharded array.
+
+    Each process passes its OWN ``local_batch`` (its slice of the
+    Monte-Carlo sweep, e.g. seeds ``process_id * n_local + i``); the
+    result behaves as the concatenated global batch laid out over the
+    mesh without any host-side gather.
+    """
+    sharding = NamedSharding(mesh, P(mesh.axis_names))
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def process_local_slice(x) -> np.ndarray:
+    """Gather THIS process's shards of a mesh-laid-out array to host
+    memory (the inverse of ``global_batch`` for inspection/logging)."""
+    shards = [s for s in x.addressable_shards]
+    shards.sort(key=lambda s: s.index)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

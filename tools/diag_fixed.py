@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Diagnose fixed-iteration IP NaNs in the closed loop (CPU, small batch)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import CONFIGURATION
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import quadruped as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+dtype = jnp.float32
+env = ci.flat_2d_lc
+dims = dims_of(model, env)
+ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                update_friction=True, dtype=dtype)
+n_sample, h_mpc = 5, 10
+kappa_mpc = 2.0e-4
+qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8)
+obj = tracking_objective(dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
+                         u=3e-2 * np.ones((h_mpc, dims.nu)),
+                         gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+                         b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                     undercut=float("inf"), max_ls=6)
+mpc_ip = IPOptions(r_tol=1e-5, kappa_tol=kappa_mpc, max_iter=30,
+                   undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+
+q1, v1 = initial_conditions(ref)
+batch = 4
+key = jax.random.PRNGKey(0)
+offsets = 0.01 * jax.random.normal(key, (batch, dims.nq), dtype)
+offsets = offsets.at[0].set(0.0)
+q1s = q1[None, :] + offsets.at[:, 2:].multiply(0.1)
+v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
+
+fixed = int(os.environ.get("FIXED", "8"))
+steps = int(os.environ.get("STEPS", "50"))
+
+
+def rollout(q, v):
+    return mpc_rollout(model, env, ref, obj, steps, h_mpc,
+                       n_sample, kappa_mpc, CONFIGURATION, q, v,
+                       n_opts=NewtonOptions(r_tol=3e-4, max_iter=5,
+                                            fixed_ip_iters=fixed),
+                       ip_opts=mpc_ip, sim_opts=sim_opts,
+                       warm_start_floor=1e-2, newton_mode="structure",
+                       structure_full_warm=False)
+
+
+out = jax.jit(jax.vmap(rollout))(q1s, v1s)
+np.set_printoptions(precision=4, suppress=False, linewidth=200)
+print("newton r_norm per ctrl step (lane 0):", np.asarray(out.mpc_r_norm[0]))
+print("newton iters (lane 0):", np.asarray(out.newton_iterations[0]))
+print("r_norm lane 1:", np.asarray(out.mpc_r_norm[1]))
+print("newton iters lane 1:", np.asarray(out.newton_iterations[1]))
+print("sim conv frac:", float(jnp.mean(out.sim_converged.astype(jnp.float32))))
+print("q finite:", bool(jnp.all(jnp.isfinite(out.q))))

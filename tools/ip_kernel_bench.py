@@ -16,6 +16,7 @@ Prints solves/s for each on the current default device. Run on the real
 TPU to decide which belongs on the default bench path (VERDICT item 1c).
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -106,7 +107,7 @@ def main():
               f"{str(e).splitlines()[0][:120]})", file=sys.stderr,
               flush=True)
 
-    aopts = opts._replace(max_iter=30)
+    aopts = dataclasses.replace(opts, max_iter=30)
 
     def adaptive(z0l, th0, r0, rz0, rt0, a, th, q):
         r_fn, rz_fn, rt_fn = linearized_residual_fns(
