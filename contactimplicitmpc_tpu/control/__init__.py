@@ -9,6 +9,7 @@ from .newton import (NewtonAssembler, NewtonIndices, NewtonOptions,
 from .objective import (TrackingObjective, TrackingVelocityObjective,
                         tracking_objective, tracking_velocity_objective)
 from .policy import CIMPCOptions, CIMPCState, ci_mpc_policy
+from .raibert import raibert_policy
 from .trajectory import (ContactTraj, contact_trajectory, from_gait,
                          get_stride, initial_conditions, repeat_traj,
                          rot_n_stride, tracking_error, tracking_errors,

@@ -1,0 +1,60 @@
+"""Raibert heuristic hopping policy — the paper's classical comparison
+baseline (``/root/reference/examples/raibert/policy/2D.jl:1-92``).
+
+A pure-JAX, branchless port of the two-phase (stance/flight) PD
+controller for the 2D hopper: body-angle torque servoing toward the
+touchdown angle ``θtd = asin(v0·Tstance / (2·r_ref)) / 2`` and leg-length
+force regulating ``r`` to ``r_ref``, with separate gain sets per phase.
+Contact is detected from the previous step's impact impulse
+(``traj.γ[t−1] > 1.5e-2``, 2D.jl:52-56); ``jnp.where`` replaces the
+stance/flight branch so the policy scans/vmaps cleanly.
+
+Plugs into ``sim.simulator.simulate`` through the standard
+``(init_state, apply)`` policy interface.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def raibert_policy(model, h: float, v0: float = 0.5,
+                   t_stance: float = 0.13, t_flight: float = 0.62,
+                   r_ref: float = 0.5,
+                   kr_c: float = 8e1, kr_p: float = -1e3,
+                   kr_v_stance: float = -1e-2, kr_v_flight: float = -1e1,
+                   ktheta_c: float = 0.0, ktheta_p: float = -3e1,
+                   ktheta_v: float = -1e1,
+                   contact_threshold: float = 1.5e-2):
+    """Gains and defaults from raibert_policy (2D.jl:24-43); ``h`` is the
+    SIM step (the reference reads ``traj.h`` at apply time, 2D.jl:47).
+
+    Returns the ``(init_state, apply)`` pair for ``simulate``.
+    """
+    theta_td = jnp.arcsin(v0 * t_stance / (2.0 * r_ref)) / 2.0
+    flight_ratio = t_flight / t_stance
+
+    def init_state():
+        return ()
+
+    def apply(state, obs):
+        dtype = obs.q1.dtype
+        contact = jnp.any(obs.gamma > contact_threshold)
+        qv = (obs.q1 - obs.q0) / h
+        theta_v, r_v = qv[2], qv[3]
+        theta1, r1 = obs.q1[2], obs.q1[3]
+
+        # stance: regulate θ about −θtd with the flight/stance time-ratio
+        # boost; flight: PD about +θtd (2D.jl:80-89)
+        u_theta_stance = ktheta_c + ktheta_p * (theta1 + theta_td) * \
+            flight_ratio
+        u_theta_flight = ktheta_p * (theta1 - theta_td) + ktheta_v * theta_v
+        u_r_stance = kr_c + kr_p * (r1 - r_ref) + kr_v_stance * r_v
+        u_r_flight = kr_p * (r1 - r_ref) + kr_v_flight * r_v
+
+        u = jnp.stack([
+            jnp.where(contact, u_theta_stance, u_theta_flight),
+            jnp.where(contact, u_r_stance, u_r_flight)]).astype(dtype)
+        return u * h, state  # impulse scaling (2D.jl:91)
+
+    return init_state, apply

@@ -1,0 +1,48 @@
+"""Raibert heuristic baseline on the 2D hopper
+(``/root/reference/examples/raibert/flat_raibert.jl`` config: h_sim =
+h/5 = 0.02, q_ref = [0, 0.5, 0, 0.5], v0 = 0.2)."""
+
+import jax
+import jax.numpy as jnp
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import raibert_policy
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.sim.simulator import simulate
+
+
+def _run(v0, horizon=500):
+    h_sim = 0.02
+    policy = raibert_policy(hopper_2d, h=h_sim, v0=v0)
+    q1 = jnp.array([0.0, 0.5, 0.0, 0.5])
+    v1 = jnp.zeros(4)
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                     undercut=float("inf"), max_ls=25)
+    return jax.jit(lambda q, v: simulate(
+        hopper_2d, ci.flat_2d_lc, horizon, h_sim, q, v, policy=policy,
+        opts=opts))(q1, v1)
+
+
+def test_hop_in_place():
+    traj = _run(v0=0.0)
+    assert bool(jnp.all(traj.converged))
+    # sustained hopping: airborne and grounded phases both occur in the
+    # second half, body height stays in a sane band, no lateral drift
+    gamma_late = traj.gamma[250:, 0]
+    assert bool(jnp.any(gamma_late > 1.5e-2))
+    assert bool(jnp.any(gamma_late < 1.5e-3))
+    z = traj.q[252:, 1]
+    assert float(z.min()) > 0.3 and float(z.max()) < 1.5
+    assert abs(float(traj.q[-1, 0])) < 0.3
+    assert float(jnp.max(jnp.abs(traj.q[-1] - traj.q[-3]))) < 0.5
+
+
+def test_hop_forward():
+    traj = _run(v0=0.2)
+    assert bool(jnp.all(traj.converged))
+    z = traj.q[252:, 1]
+    assert float(z.min()) > 0.3 and float(z.max()) < 1.5
+    # net forward progress roughly tracking the commanded velocity
+    x_final = float(traj.q[-1, 0])
+    assert x_final > 0.5, x_final
