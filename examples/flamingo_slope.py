@@ -1,0 +1,98 @@
+"""Flamingo biped walking up a smooth slope under the flat-ground
+controller — model-mismatch MPC with terrain-height (altitude) discovery.
+
+Mirror of ``/root/reference/examples/flamingo/slope.jl``: the controller
+is linearized about the FLAT-ground gait; the physics runs on
+slope_smooth_2D_lc; altitude updates (threshold 0.02) let the flat model
+track the discovered surface height.
+
+Run: python examples/flamingo_slope.py [--steps 1000] [--gif out.gif]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        NewtonOptions, from_gait, initial_conditions,
+        tracking_velocity_objective)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        CONFIGURATION
+    from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+    from contactimplicitmpc_tpu.models import flamingo as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    env = ci.flat_2d_lc                 # controller model (slope.jl:12)
+    sim_env = ci.slope_smooth_2d_lc     # physics terrain (slope.jl:11)
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"))
+    n_sample, h_mpc, kappa_mpc = 5, 15, 2.0e-4
+    h = float(ref.h)
+
+    # slope.jl:31-36
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e0, 1, 1e4, 1, 1, 1, 1, 1e4, 1e4]),
+                  (h_mpc, 1)),
+        q=np.tile(1e-1 * np.array([3e2, 1e-6, 3e2, 1, 1, 1, 1, 0.1, 0.1]),
+                  (h_mpc, 1)),
+        u=np.tile(3e-1 * np.array([0.1, 0.1, 0.3, 0.3, 2.0, 2.0]),
+                  (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    mpc_ip = IPOptions(r_tol=1e-8, kappa_tol=kappa_mpc, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    run = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, args.steps, h_mpc, n_sample, kappa_mpc,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.02),
+        sim_env=sim_env))
+    t0 = time.time()
+    traj = run(q1, v1)
+    jax.block_until_ready(traj.q)
+    dt = time.time() - t0
+
+    heights = jax.vmap(lambda q: q[1] - sim_env.surf(q[:1]))(traj.q)
+    print(f"sim converged: {bool(jnp.all(traj.sim_converged))}")
+    print(f"x: {float(traj.q[1, 0]):+.3f} -> {float(traj.q[-1, 0]):+.3f} m "
+          f"(up the slope); min torso clearance "
+          f"{float(jnp.min(heights)):.3f} m")
+    print(f"run {dt:.1f}s (incl. compile) for {args.steps} steps")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_2d
+        animate_2d(model, traj.q[::10], env=sim_env, path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

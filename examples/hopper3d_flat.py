@@ -1,0 +1,93 @@
+"""3D hopper (MRP orientation) hopping forward under CIMPC on flat ground.
+
+Mirror of ``/root/reference/examples/hopper/3D_flat.jl``: gait_forward,
+N_sample=10, H_mpc=20, κ=1e-4, :configuration mode, altitude updates.
+
+Run: python examples/hopper3d_flat.py [--steps 1200] [--gif out.gif]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, CIMPCOptions, NewtonOptions, ci_mpc_policy,
+        from_gait, initial_conditions, tracking_error, tracking_objective)
+    from contactimplicitmpc_tpu.models import hopper_3d as model
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    env = ci.flat_3d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_3D", "gait_forward"),
+                    kappa=1e-4)
+    n_sample, h_mpc, kappa_mpc = 10, 20, 1.0e-4
+    h = float(ref.h)
+
+    # 3D_flat.jl:38-42
+    obj = tracking_objective(
+        dims, h_mpc,
+        q=np.tile(1e-1 * np.array([3, 3, 0.1, 50, 50, 50, 10]),
+                  (h_mpc, 1)),
+        u=np.tile(np.array([0.1, 0.1, 10.0]), (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa_mpc, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True)
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05))
+
+    q1, v1 = initial_conditions(ref)
+    run = jax.jit(lambda q, v: ci.simulate(
+        model, env, args.steps, h / n_sample, q, v, policy=policy))
+    t0 = time.time()
+    traj = run(q1, v1)
+    jax.block_until_ready(traj.q)
+    dt = time.time() - t0
+    t0 = time.time()
+    traj = run(q1, v1)
+    jax.block_until_ready(traj.q)
+    warm = time.time() - t0
+
+    qerr, uerr, gerr, berr = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample, idx_shift=(0,))
+    print(f"status={bool(ci.status(traj))} "
+          f"tracking: q={float(qerr):.4f} u={float(uerr):.4f} "
+          f"γ={float(gerr):.4f} b={float(berr):.4f}")
+    print(f"x: {float(traj.q[1, 0]):+.3f} -> {float(traj.q[-1, 0]):+.3f} m")
+    print(f"first run {dt:.1f}s (incl. compile), warm {warm:.1f}s, "
+          f"speed ratio {args.steps * h / n_sample / warm:.3f}x realtime")
+
+    if args.gif:
+        from contactimplicitmpc_tpu.utils.visuals import animate_3d
+        animate_3d(model, traj.q[::10], env=env, path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Flamingo walking up the smooth slope under the flat-ground controller —
+model-mismatch closed loop with altitude discovery.
+
+Reference recipe: /root/reference/examples/flamingo/slope.jl — controller
+linearized about the FLAT-ground gait (s = flat_2D_lc), physics simulated
+on slope_smooth_2D_lc, altitude_update threshold 0.02, :configuration
+mode, κ=2e-4, N_sample=5, H_mpc=15.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (NewtonOptions, from_gait,
+                                            initial_conditions,
+                                            tracking_velocity_objective)
+from contactimplicitmpc_tpu.control.implicit_dynamics import CONFIGURATION
+from contactimplicitmpc_tpu.control.policy import CIMPCOptions
+from contactimplicitmpc_tpu.control.rollout import mpc_rollout
+from contactimplicitmpc_tpu.models import flamingo as model
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def test_flamingo_slope_mpc():
+    env = ci.flat_2d_lc                 # controller model (slope.jl:12)
+    sim_env = ci.slope_smooth_2d_lc     # physics terrain (slope.jl:11)
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("flamingo", "gait_forward_36_4"))
+    n_sample, h_mpc = 5, 15
+    kappa_mpc = 2.0e-4
+
+    # slope.jl:31-36 weights
+    obj = tracking_velocity_objective(
+        dims, h_mpc,
+        v=np.tile(1e-3 * np.array([1e0, 1, 1e4, 1, 1, 1, 1, 1e4, 1e4]),
+                  (h_mpc, 1)),
+        q=np.tile(1e-1 * np.array([3e2, 1e-6, 3e2, 1, 1, 1, 1, 0.1, 0.1]),
+                  (h_mpc, 1)),
+        u=np.tile(3e-1 * np.array([0.1, 0.1, 0.3, 0.3, 2.0, 2.0]),
+                  (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    mpc_ip = IPOptions(r_tol=1e-8, kappa_tol=kappa_mpc, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True, max_ls=3)
+    sim_opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+
+    q1, v1 = initial_conditions(ref)
+    steps = 500
+    roll = jax.jit(lambda q, v: mpc_rollout(
+        model, env, ref, obj, steps, h_mpc, n_sample, kappa_mpc,
+        CONFIGURATION, q, v,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip, sim_opts=sim_opts, warm_start_floor=1e-2,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.02),
+        sim_env=sim_env))
+    traj = roll(q1, v1)
+
+    assert bool(jnp.all(traj.sim_converged))
+    # forward progress up the slope (measured r4: dx = 0.328 m over the
+    # 500 steps, steady ~0.033 m per 50 steps; fail below 0.75× of it)
+    dx = float(traj.q[-1, 0] - traj.q[1, 0])
+    assert dx > 0.24, dx
+    # torso stays upright and above the terrain the whole way
+    heights = jax.vmap(lambda q: q[1] - sim_env.surf(q[:1]))(traj.q)
+    assert float(jnp.min(heights)) > 0.4
+    assert float(jnp.max(jnp.abs(traj.q[2:, 2]))) < 0.5

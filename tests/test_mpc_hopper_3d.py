@@ -1,0 +1,89 @@
+"""Closed-loop MPC: 3D hopper (MRP orientation) hopping forward on flat
+ground.
+
+Reference recipe: /root/reference/examples/hopper/3D_flat.jl (gait_forward,
+N_sample=10, H_mpc=20, κ=1e-4, :configuration mode, ip r_tol=κ_tol=1e-4,
+altitude updates on). The reference ships no CI thresholds for this
+example; bounds below track the measured build errors with a 1.5× band
+(the mpc_quadruped.jl:61 convention).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import (CONFIGURATION, CIMPCOptions,
+                                            NewtonOptions, ci_mpc_policy,
+                                            from_gait, initial_conditions,
+                                            tracking_error,
+                                            tracking_objective)
+from contactimplicitmpc_tpu.models import hopper_3d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    model, env = hopper_3d, ci.flat_3d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_3D", "gait_forward"),
+                    kappa=1e-4)
+
+    n_sample = 10
+    h_mpc = 20
+    kappa_mpc = 1.0e-4
+    h = float(ref.h)
+
+    # weights from 3D_flat.jl:38-42
+    obj = tracking_objective(
+        dims, h_mpc,
+        q=np.tile(1e-1 * np.array([3, 3, 0.1, 50, 50, 50, 10]),
+                  (h_mpc, 1)),
+        u=np.tile(np.array([0.1, 0.1, 10.0]), (h_mpc, 1)),
+        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+        b=1e-100 * np.ones((h_mpc, dims.nb)))
+
+    # ip_opts from 3D_flat.jl:73-80
+    mpc_ip = IPOptions(r_tol=1e-4, kappa_tol=kappa_mpc, max_iter=100,
+                       undercut=5.0, gamma_reg=0.1, diff_sol=True)
+    policy = ci_mpc_policy(
+        model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+        kappa_mpc=kappa_mpc, mode=CONFIGURATION,
+        n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+        ip_opts=mpc_ip,
+        mpc_opts=CIMPCOptions(altitude_update=True,
+                              altitude_impact_threshold=0.05))
+
+    q1, v1 = initial_conditions(ref)
+    h_sim = 600
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, env, h_sim, h / n_sample, q, v, policy=policy))(q1, v1)
+    return ref, traj, n_sample
+
+
+def test_mpc_hopper_3d_status(rollout):
+    _, traj, _ = rollout
+    assert bool(ci.status(traj))
+
+
+def test_mpc_hopper_3d_tracking(rollout):
+    ref, traj, n_sample = rollout
+    qerr, uerr, gerr, berr = tracking_error(
+        ref, traj.q, traj.u, traj.gamma, traj.b, n_sample, idx_shift=(0,))
+    print(f"tracking: q={qerr:.4f} u={uerr:.4f} γ={gerr:.4f} b={berr:.4f}")
+    # measured r4 build: q=0.0048 u=0.0538 γ=0.0967 b=0.0290 — 1.5× band
+    assert qerr < 0.0048 * 1.5, qerr
+    assert uerr < 0.0538 * 1.5, uerr
+    assert gerr < 0.0967 * 1.5, gerr
+    assert berr < 0.0290 * 1.5, berr
+
+
+def test_mpc_hopper_3d_hops_forward(rollout):
+    """gait_forward advances +x; the closed loop must actually travel."""
+    ref, traj, n_sample = rollout
+    x_final = float(traj.q[-1, 0])
+    n_knots = (traj.q.shape[0] - 2) // n_sample  # 60 of the 92 gait knots
+    x_ref = float(ref.q[n_knots, 0] - ref.q[0, 0])
+    assert x_final - float(traj.q[1, 0]) > 0.5 * x_ref, (x_final, x_ref)

@@ -89,14 +89,14 @@ def main():
               f"({dt * 1e3:.2f} ms/batch, converged "
               f"{float(jnp.mean(conv.astype(jnp.float32))):.3f})",
               file=sys.stderr, flush=True)
-        return n / dt
+        return out
 
     xla_fixed = jax.jit(jax.vmap(
         lambda z0, th0, r0, rz0, rt0, a, th, q:
         linearized_ip_fixed(dims, z0, th0, r0, rz0, rt0, a, th, q, opts,
                             iters=ITERS)))
-    timeit("xla_fixed", xla_fixed, fz0, fth0, fr0, frz0, frt0, falt, fth,
-           fq2)
+    rf = timeit("xla_fixed", xla_fixed, fz0, fth0, fr0, frz0, frt0, falt,
+                fth, fq2)
 
     try:
         timeit("pallas", lambda *a: linearized_ip_fixed_pallas(
@@ -118,8 +118,22 @@ def main():
                         linear_solver=make_schur_solver(dims, rz0, aopts))
 
     xla_adapt = jax.jit(jax.vmap(adaptive))
-    timeit("xla_adapt", xla_adapt, fz0, fth0, fr0, frz0, frt0, falt, fth,
-           fq2)
+    ra = timeit("xla_adapt", xla_adapt, fz0, fth0, fr0, frz0, frt0, falt,
+                fth, fq2)
+
+    # numerical agreement on mutually-converged lanes (the closed loop
+    # consumes z AND the sensitivities dz — both must match the adaptive
+    # product path)
+    both = rf.converged & ra.converged
+    zd = jnp.max(jnp.where(both[:, None], jnp.abs(rf.z - ra.z), 0.0))
+    dzd = jnp.max(jnp.where(both[:, None, None],
+                            jnp.abs(rf.dz - ra.dz), 0.0))
+    dz_fin = jnp.all(jnp.isfinite(rf.dz))
+    print(f"agreement (both-converged {float(jnp.mean(both.astype(jnp.float32))):.3f}): "
+          f"max|Δz|={float(zd):.2e} max|Δdz|={float(dzd):.2e} "
+          f"fixed dz finite={bool(dz_fin)} "
+          f"max|dz_fixed|={float(jnp.max(jnp.abs(rf.dz))):.2e}",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
