@@ -35,10 +35,11 @@ from .sim.interior_point import IPOptions, IPResult, ip_solve, z_initialize
 from .sim.residual import (pack_theta, pack_z, pack_z_consistent, residual,
                            residual_theta_jacobian, residual_z_jacobian,
                            unpack_theta, unpack_z)
-from .sim.simulator import (SimTrajectory, default_sim_options,
+from .sim.simulator import (SimTrajectory, control_saturation,
+                            default_sim_options,
                             empty_disturbances, empty_policy,
                             impulse_disturbances, open_loop_disturbances,
-                            open_loop_policy, random_disturbances, simulate,
+                            open_loop_policy, random_disturbances, saturated_policy, simulate,
                             status)
 
 __version__ = "0.1.0"

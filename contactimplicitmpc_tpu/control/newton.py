@@ -59,6 +59,12 @@ class NewtonOptions:
     beta_init: float = 1.0e-5
     max_ls: int = 6
     fixed_ip_iters: int = 0  # >0: deterministic fixed-iteration knot solves
+    kkt_solver: str = "ldl"  # horizon-KKT backend: "ldl" = unpivoted
+    #                          LDLᵀ (ops/linsolve.py; the ±β-regularized
+    #                          KKT is SQD so no pivoting is needed —
+    #                          newton.jl:280 / QDLDL role, solver/ldl.jl),
+    #                          "lu" = XLA's pivoted jnp.linalg.solve
+    #                          (sequential row-swap loop; slower on TPU)
 
 
 class NewtonIndices:
@@ -319,7 +325,11 @@ def newton_solve(
         traj_c, nu_c, beta, imp_c, r_c, r_norm_c, it = carry
 
         jac = assembler.jacobian(obj, imp_c, beta, kappa, dtype)
-        delta = jnp.linalg.solve(jac, r_c)
+        if opts.kkt_solver == "ldl":
+            from ..ops.linsolve import ldl_solve
+            delta = ldl_solve(jac, r_c[:, None])[:, 0]
+        else:
+            delta = jnp.linalg.solve(jac, r_c)
 
         # batched line search over α ∈ {1, 1/2, …, 2⁻⁶}
         def trial(alpha):

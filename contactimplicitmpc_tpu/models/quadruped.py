@@ -127,5 +127,27 @@ class Quadruped(Model):
         return jax.jacfwd(lambda qq: self.kinematics(qq).reshape(-1))(q)
 
 
+def initial_configuration(model: Quadruped, theta0, theta1, theta2, theta3,
+                          x, dz):
+    """Kinematically-consistent standing pose from leg angles — the
+    reference's Monte-Carlo initial-state distribution
+    (``examples/quadruped/monte_carlo.jl:94-116``): legs 1/3 posed at
+    (−θ1, θ2), body height from their kinematics, legs 2/4 solved by
+    ``acos`` to touch the same ground, then the body is pitched by θ0 and
+    lifted by Δz. Sampling ranges upstream (monte_carlo.jl:80-84):
+    θ0∈[0,0.05], θ1..θ3∈[0.6,0.8], x∈[−0.2,0.2], Δz∈[0,0.1]."""
+    z = model.l_thigh * jnp.cos(-theta1) + model.l_calf * jnp.cos(theta2)
+    calf_bd = jnp.arccos(jnp.clip(
+        (z - model.l_thigh * jnp.cos(-theta3)) / model.l_calf, -1.0, 1.0))
+    pi_2 = jnp.pi / 2.0
+    return jnp.stack([
+        x, z + dz, pi_2 + theta0,
+        -theta1, theta2,          # leg 1
+        -theta3, calf_bd,         # leg 2
+        -theta1, theta2,          # leg 3
+        -theta3, calf_bd,         # leg 4
+    ])
+
+
 quadruped = Quadruped()
 quadruped_payload = Quadruped(m_payload=3.0, j_payload=0.03)

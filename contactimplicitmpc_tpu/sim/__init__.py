@@ -2,9 +2,10 @@ from .interior_point import IPOptions, IPResult, ip_solve, z_initialize
 from .residual import (pack_theta, pack_z, pack_z_consistent, residual,
                        residual_theta_jacobian, residual_z_jacobian,
                        soc_product, unpack_theta, unpack_z)
-from .simulator import (PolicyObs, SimTrajectory, default_sim_options,
+from .simulator import (PolicyObs, SimTrajectory, control_saturation,
+                        default_sim_options,
                         empty_disturbances, empty_policy,
                         impulse_disturbances, open_loop_disturbances,
-                        open_loop_policy, random_disturbances, simulate,
+                        open_loop_policy, random_disturbances, saturated_policy, simulate,
                         status)
 from .stats import SimulatorStatistics, process, time_policy

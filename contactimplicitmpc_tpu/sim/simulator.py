@@ -69,6 +69,23 @@ def default_sim_options() -> IPOptions:
 # Policies (src/simulator/policy.jl)
 # ---------------------------------------------------------------------------
 
+def control_saturation(u, u_lower, u_upper):
+    """Elementwise control clamp (simulator.jl:68)."""
+    return jnp.minimum(jnp.maximum(jnp.asarray(u_lower), u),
+                       jnp.asarray(u_upper))
+
+
+def saturated_policy(policy, u_lower, u_upper):
+    """Wrap any ``(init, apply)`` policy with control saturation."""
+    init, apply = policy
+
+    def apply_sat(state, obs: PolicyObs):
+        u, state = apply(state, obs)
+        return control_saturation(u, u_lower, u_upper), state
+
+    return init, apply_sat
+
+
 def empty_policy(model: Model):
     """Zero control."""
 

@@ -55,6 +55,9 @@ def test_structure_mode_parkour_stairs():
 
     assert bool(jnp.all(traj.sim_converged))
     q = np.asarray(traj.q)
-    # staircase top landing: z = 0.75 for x in [0.625, 0.875]
-    assert q[-1, 0] > 0.6, q[-1, 0]       # reached the top step in x
-    assert q[-1, 1] > 0.7, q[-1, 1]       # body above the top landing
+    # staircase top landing: z = 0.75 for x in [0.625, 0.875]; measured
+    # r4 final state (0.745, 1.239) = standing on the landing — bounds at
+    # ~95% of it so a real climbing regression (stuck one step short:
+    # x ≤ 0.625, z ≤ 1.0) fails cleanly
+    assert q[-1, 0] > 0.70, q[-1, 0]      # reached the top step in x
+    assert q[-1, 1] > 1.15, q[-1, 1]      # body standing on the landing

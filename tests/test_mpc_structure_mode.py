@@ -49,6 +49,8 @@ def test_structure_mode_mpc_hopper():
     q_err, u_err, _, _ = tracking_error(
         ref, traj.q, traj.u, traj.gamma, traj.b, n_sample)
     print(f"structure-mode tracking: q={q_err:.4f} u={u_err:.4f}")
-    assert q_err < 0.06, q_err
+    # measured r4: q=0.0130 u=0.0894 — 1.5× band so a 2× regression fails
+    assert q_err < 0.0130 * 1.5, q_err
+    assert u_err < 0.0894 * 1.5, u_err
     qf = np.asarray(traj.q[-1])
     assert 0.3 < qf[1] < 0.9

@@ -57,11 +57,23 @@ def test_quadruped_piecewise_mpc():
     assert bool(jnp.all(traj.sim_converged))
     # the quadruped makes forward progress onto the slope without falling:
     # perfect tracking covers (n_ctrl / H_gait) * stride_x =
-    # (50 / 60) * 0.184 = 0.154 m over these 250 sim steps
-    assert float(traj.q[-1, 0] - traj.q[1, 0]) > 0.12
-    # body stays above the terrain surface along the way
+    # (50 / 60) * 0.184 = 0.154 m over these 250 sim steps (measured r4:
+    # 0.1625 m)
+    assert float(traj.q[-1, 0] - traj.q[1, 0]) > 0.13
+    # body stays above the terrain surface along the way (measured r4:
+    # min clearance 0.279 m)
     heights = jax.vmap(lambda q: q[1] - env.surf(q[:1]))(traj.q)
-    assert float(jnp.min(heights)) > 0.1
+    assert float(jnp.min(heights)) > 0.2
+    # tracking vs the flat reference gait, measured r4 with a 1.5× band
+    # (q=0.0155 u=0.0422 γ=0.367 b=0.0733) — catches a 2× regression the
+    # old progress-only bounds would have let through
+    from contactimplicitmpc_tpu.control import tracking_error
+    qe, ue, ge, be = tracking_error(ref, traj.q, traj.u, traj.gamma,
+                                    traj.b, n_sample, idx_shift=(0,))
+    assert float(qe) < 0.0155 * 1.5, float(qe)
+    assert float(ue) < 0.0422 * 1.5, float(ue)
+    assert float(ge) < 0.367 * 1.5, float(ge)
+    assert float(be) < 0.0733 * 1.5, float(be)
 
 
 def test_altitude_update_discovers_height():
