@@ -166,7 +166,11 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         pick = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(merits))
 
         z_new = z - alphas[pick] * dirs[pick]
-        z = jnp.where(done | done_now, z, z_new)
+        # keep the last finite iterate: a float32 blow-up in the Schur
+        # solve must not freeze the lane on NaN for the remaining masked
+        # iterations (mirrors ip_solve's divergence guard)
+        z_ok = jnp.all(jnp.isfinite(z_new))
+        z = jnp.where(done | done_now | jnp.logical_not(z_ok), z, z_new)
         return (z, done | done_now)
 
     z, done = jax.lax.fori_loop(
@@ -178,5 +182,11 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
 
     factors = schur_factor(z, kvio)
     dz = solve_refined(z, factors, -rtheta0)
+    # sensitivity guard (ip_solve parity): a singular float32
+    # factorization at a finite z must not poison the horizon-Newton
+    # Jacobian blocks — zero the sensitivities and flag the knot instead
+    dz_bad = jnp.logical_not(jnp.all(jnp.isfinite(dz)))
+    dz = jnp.where(dz_bad, jnp.zeros_like(dz), dz)
+    converged = jnp.logical_and(converged, jnp.logical_not(dz_bad))
     return FixedIPResult(z=z, converged=converged, rvio=rvio, kvio=kvio,
                          dz=dz)

@@ -56,13 +56,15 @@ def default_sim_options() -> IPOptions:
     Jacobian — the γ_reg cone clamp exists only in the linearized MPC path
     (rzlin!, linearized_solver.jl:390-394) — so gamma_reg stays 0 here; a
     τ cap keeps iterates off the cone boundary at contact transitions.
-    ``eps_min=0.25`` is RoboDojo's simulation-path line-search floor
-    (simulator.jl:30) — without it the merit backtracking can stall a few
-    digits above κ_tol at contact-release transitions (observed on the 3D
-    hopper at liftoff: kvio plateaus at 2.6e-8 > 1e-8 for 200+ iters)."""
+
+    Per-robot overrides are the norm, exactly as the reference sets
+    per-example option structs: airborne-phase robots (3D hopper) need
+    RoboDojo's ϵ_min = 0.25 line-search floor (simulator.jl:30) or the
+    merit backtracking stalls a few digits above κ_tol at liftoff, while
+    the stiff undamped-centroidal sim needs the deep backtracking that
+    floor forbids — measured A/B round 4, no single default passes both."""
     return IPOptions(r_tol=1.0e-8, kappa_tol=1.0e-8, max_iter=100,
-                     undercut=float("inf"), gamma_reg=0.0, max_ls=25,
-                     eps_min=0.25)
+                     undercut=float("inf"), gamma_reg=0.0, max_ls=25)
 
 
 # ---------------------------------------------------------------------------

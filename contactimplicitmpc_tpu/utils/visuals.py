@@ -163,16 +163,20 @@ def skeleton_3d(model, q) -> Sequence[np.ndarray]:
 
 
 def animate_3d(model, qs, env=None, path: str = "rollout3d.gif",
-               every: int = 5, fps: int = 20):
+               every: int = 5, fps: int = 20, gamma=None,
+               force_scale: float = 3.0):
     """3D skeleton animation of a floating-base rollout → GIF — the
     minimum MeshCat-class rendering for the 18-DoF models
-    (visualize_robot!, src/dynamics/centroidal_quadruped/visuals.jl)."""
+    (visualize_robot!, src/dynamics/centroidal_quadruped/visuals.jl).
+    ``gamma`` (T, nc) overlays vertical contact-force arrows at the feet
+    (visualize_force! parity)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
     qs = np.asarray(qs)[::every]
+    gamma = None if gamma is None else np.asarray(gamma)[::every]
     fig = plt.figure(figsize=(6, 5))
     ax = fig.add_subplot(projection="3d")
     c = qs[:, :3].mean(axis=0)
@@ -202,6 +206,13 @@ def animate_3d(model, qs, env=None, path: str = "rollout3d.gif",
             (art,) = ax.plot(line[:, 0], line[:, 1], line[:, 2], "o-",
                              color=color, lw=2.0, ms=3)
             artists.append(art)
+        if gamma is not None and i < len(gamma):
+            feet = qs[i, 6:18].reshape(4, 3)
+            g = gamma[i].reshape(-1)[:4]
+            art = ax.quiver(feet[:, 0], feet[:, 1], feet[:, 2],
+                            np.zeros(4), np.zeros(4), g * force_scale,
+                            color="C3", lw=1.5)
+            artists.append(art)
         return artists
 
     anim = animation.FuncAnimation(fig, draw, frames=len(qs),
@@ -211,16 +222,48 @@ def animate_3d(model, qs, env=None, path: str = "rollout3d.gif",
     return path
 
 
+def contact_force_vectors(model, q, gamma, b=None):
+    """Per-contact world-frame force vectors at the feet for overlay
+    rendering (visualize_force!, src/visuals.jl:61-94): vertical = normal
+    impulse γ, horizontal = net linearized friction b⁺ − b⁻."""
+    k = np.asarray(model.kinematics(q))
+    nc = k.shape[0]
+    gamma = np.asarray(gamma).reshape(nc)
+    vecs = np.zeros((nc, 2))
+    vecs[:, 1] = gamma
+    if b is not None:
+        b = np.asarray(b).reshape(nc, -1)
+        vecs[:, 0] = b[:, 0] - b[:, 1]
+    return k[:, :2], vecs
+
+
 def animate_2d(model, qs, env=None, path: str = "rollout.gif",
-               every: int = 5, fps: int = 20):
+               every: int = 5, fps: int = 20, gamma=None, b=None,
+               w=None, payload: float = 0.0, force_scale: float = 3.0):
     """Stick-figure animation of a planar rollout → GIF
-    (visualize_robot! equivalent, src/visuals.jl:18-60)."""
+    (visualize_robot! equivalent, src/visuals.jl:18-60).
+
+    Overlays (per-robot visuals parity, src/visuals.jl:61-146):
+
+    * ``gamma``/``b`` — (T, nc)/(T, nb) contact impulses drawn as force
+      arrows at the feet (``visualize_force!``)
+    * ``w`` — (T, nw) disturbance drawn as an arrow at the base
+      (``visualize_disturbance!``)
+    * ``payload`` — payload mass drawn as a marker on the torso
+      (``visualize_payload!``)
+
+    Impulse arrays are indexed at the same sim steps as ``qs`` (arrays
+    are strided by ``every`` internally; pass them un-strided).
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
     qs = np.asarray(qs)[::every]
+    gamma = None if gamma is None else np.asarray(gamma)[::every]
+    b = None if b is None else np.asarray(b)[::every]
+    w = None if w is None else np.asarray(w)[::every]
     fig, ax = plt.subplots(figsize=(6, 4))
     xmin, xmax = qs[:, 0].min() - 1.0, qs[:, 0].max() + 1.0
     ax.set_xlim(xmin, xmax)
@@ -243,10 +286,65 @@ def animate_2d(model, qs, env=None, path: str = "rollout.gif",
             (art,) = ax.plot(line[:, 0], line[:, 1], "o-", color="C0",
                              lw=2.0, ms=3)
             artists.append(art)
+        if gamma is not None and i < len(gamma):
+            pts, vecs = contact_force_vectors(
+                model, qs[i], gamma[i], None if b is None else b[i])
+            art = ax.quiver(pts[:, 0], pts[:, 1], vecs[:, 0], vecs[:, 1],
+                            angles="xy", scale_units="xy",
+                            scale=1.0 / force_scale, color="C3",
+                            width=4e-3)
+            artists.append(art)
+        if w is not None and i < len(w) and np.any(w[i] != 0.0):
+            art = ax.quiver(qs[i, 0], qs[i, 1], float(w[i][0]),
+                            float(w[i][1]) if w.shape[1] > 1 else 0.0,
+                            angles="xy", scale_units="xy",
+                            scale=1.0 / force_scale, color="C1",
+                            width=6e-3)
+            artists.append(art)
+        if payload > 0.0:
+            (art,) = ax.plot([qs[i, 0]], [qs[i, 1]], "s", color="C2",
+                             ms=4 + 2 * payload)
+            artists.append(art)
         return artists
 
     anim = animation.FuncAnimation(fig, draw, frames=len(qs),
                                    interval=1000 // fps, blit=False)
     anim.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return path
+
+
+def plot_runs_2d(model, qs_batch, env=None, path: str = "runs.png",
+                 stride: int = 100):
+    """Overlaid transparent robot poses across a batch of rollouts — the
+    Monte-Carlo sweep figure (visualize_runs!,
+    examples/hopper/monte_carlo.jl:94-116), one matplotlib still instead
+    of a MeshCat scene."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    qs_batch = np.asarray(qs_batch)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    xmin = qs_batch[..., 0].min() - 0.5
+    xmax = qs_batch[..., 0].max() + 0.5
+    ax.set_xlim(xmin, xmax)
+    ax.set_ylim(-0.2, 1.6)
+    ax.set_aspect("equal")
+    if env is not None:
+        xs = np.linspace(xmin, xmax, 300)
+        ax.plot(xs, [float(env.surf(np.array([x]))) for x in xs],
+                "k-", lw=1.0)
+    else:
+        ax.axhline(0.0, color="k", lw=1.0)
+    alpha = min(1.0, 5.0 * max(0.04, 1.0 / len(qs_batch)))
+    for lane, qs in enumerate(qs_batch):
+        color = f"C{lane % 10}"
+        for q in qs[::stride]:
+            for line in skeleton_2d(model, q):
+                ax.plot(line[:, 0], line[:, 1], "-", color=color,
+                        lw=1.2, alpha=alpha)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
     plt.close(fig)
     return path

@@ -63,8 +63,13 @@ def main():
                               altitude_impact_threshold=0.05))
 
     q1, v1 = initial_conditions(ref)
+    # sim path needs RoboDojo's ϵ_min=0.25 floor (simulator.jl:30) or the
+    # IP stalls just above κ_tol at liftoff
+    import dataclasses
+    sim_opts = dataclasses.replace(ci.default_sim_options(), eps_min=0.25)
     run = jax.jit(lambda q, v: ci.simulate(
-        model, env, args.steps, h / n_sample, q, v, policy=policy))
+        model, env, args.steps, h / n_sample, q, v, policy=policy,
+        opts=sim_opts))
     t0 = time.time()
     traj = run(q1, v1)
     jax.block_until_ready(traj.q)

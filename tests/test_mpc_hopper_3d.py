@@ -8,6 +8,8 @@ example; bounds below track the measured build errors with a 1.5× band
 (the mpc_quadruped.jl:61 convention).
 """
 
+import dataclasses
+
 import jax
 import numpy as np
 import pytest
@@ -58,8 +60,12 @@ def rollout():
 
     q1, v1 = initial_conditions(ref)
     h_sim = 600
+    # sim path needs RoboDojo's ϵ_min=0.25 line-search floor
+    # (simulator.jl:30) or the IP stalls just above κ_tol at liftoff
+    sim_opts = dataclasses.replace(ci.default_sim_options(), eps_min=0.25)
     traj = jax.jit(lambda q, v: ci.simulate(
-        model, env, h_sim, h / n_sample, q, v, policy=policy))(q1, v1)
+        model, env, h_sim, h / n_sample, q, v, policy=policy,
+        opts=sim_opts))(q1, v1)
     return ref, traj, n_sample
 
 

@@ -70,3 +70,48 @@ def test_skeleton_3d_and_animation(tmp_path):
     p = animate_3d(centroidal_quadruped, qs,
                    path=str(tmp_path / "roll3d.gif"), every=2)
     assert os.path.exists(p)
+
+
+def test_force_disturbance_payload_overlays(tmp_path):
+    """visualize_force!/visualize_disturbance!/visualize_payload! parity
+    (src/visuals.jl:61-146) in the GIF renderer."""
+    from contactimplicitmpc_tpu.utils.visuals import contact_force_vectors
+
+    T = 12
+    qs = np.tile(np.array([0.0, 0.6, 0.0, 0.5]), (T, 1))
+    gamma = 0.5 * np.ones((T, 1))
+    b = np.tile([0.2, 0.05], (T, 1))
+    w = np.zeros((T, 2))
+    w[5:8, 0] = 1.0
+
+    pts, vecs = contact_force_vectors(hopper_2d, qs[0], gamma[0], b[0])
+    assert pts.shape == (1, 2) and vecs.shape == (1, 2)
+    np.testing.assert_allclose(vecs[0], [0.15, 0.5])
+
+    p = animate_2d(hopper_2d, qs, path=str(tmp_path / "force.gif"),
+                   every=2, gamma=gamma, b=b, w=w, payload=3.0)
+    assert os.path.exists(p)
+
+
+def test_runs_overlay_figure(tmp_path):
+    from contactimplicitmpc_tpu.utils.visuals import plot_runs_2d
+
+    qs = np.tile(np.array([0.0, 0.6, 0.0, 0.5]), (3, 40, 1))
+    qs[:, :, 0] = np.linspace(0, 1, 40)[None, :] + 0.1 * np.arange(3)[:, None]
+    p = plot_runs_2d(hopper_2d, qs, path=str(tmp_path / "runs.png"),
+                     stride=10)
+    assert os.path.exists(p)
+
+
+def test_animate_3d_force_overlay(tmp_path):
+    from contactimplicitmpc_tpu.models import centroidal_quadruped
+    from contactimplicitmpc_tpu.utils.visuals import animate_3d
+
+    q = np.zeros(18)
+    q[:3] = [0.0, 0.0, 0.3]
+    q[6:] = np.tile([0.2, 0.15, 0.0], 4)
+    qs = np.tile(q, (8, 1))
+    gamma = 0.3 * np.ones((8, 4))
+    p = animate_3d(centroidal_quadruped, qs, gamma=gamma,
+                   path=str(tmp_path / "r3f.gif"), every=2)
+    assert os.path.exists(p)
