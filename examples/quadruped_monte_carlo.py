@@ -20,9 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--steps", type=int, default=500)
-    ap.add_argument("--offset", type=float, default=0.05,
-                    help="uniform initial-state offset amplitude "
-                         "(monte_carlo.jl:80-89)")
+    ap.add_argument("--png", type=str, default=None,
+                    help="write a visualize_runs!-style overlay figure")
     ap.add_argument("--cpu8", action="store_true")
     ap.add_argument("--f64", action="store_true")
     args = ap.parse_args()
@@ -86,12 +85,20 @@ def main():
     n = (args.n // len(devices)) * len(devices)
     run = make_sharded_mpc_rollouts(mesh, rollout, ref, n_sample)
 
-    # uniform offsets (monte_carlo.jl:80-89): body x shifted, joints jittered
+    # the reference study's distribution: kinematically-consistent
+    # standing poses from leg-angle/pose ranges (monte_carlo.jl:80-89 via
+    # initial_configuration :94-116), gait velocity
+    from contactimplicitmpc_tpu.models.quadruped import \
+        initial_configuration
     q1, v1 = initial_conditions(ref)
     key = jax.random.PRNGKey(0)
-    off = args.offset * jax.random.uniform(key, (n, dims.nq), dtype,
-                                           minval=-1.0, maxval=1.0)
-    q1s = q1[None, :] + off.at[:, 1].multiply(0.2).at[:, 2:].multiply(0.5)
+    cmin = jnp.asarray([0.0, 0.6, 0.6, 0.6, -0.2, -0.3], dtype)
+    cmax = jnp.asarray([0.05, 0.8, 0.8, 0.8, 0.2, 0.1], dtype)
+    conf = cmin + (cmax - cmin) * jax.random.uniform(key, (n, 6), dtype)
+    conf = conf.at[:, 5].set(jnp.maximum(conf[:, 5], 0.0))
+    q1s = jax.vmap(lambda c: initial_configuration(
+        model, c[0], c[1], c[2], c[3], c[4], c[5]))(conf)
+    q1s = q1s.at[0].set(q1)
     v1s = jnp.broadcast_to(v1, (n, dims.nq)).astype(dtype)
 
     t0 = time.time()
@@ -111,6 +118,12 @@ def main():
           f"u={float(stats.u_err):.4f}")
     print(f"throughput: {solves / wall:.1f} MPC solves/s "
           f"({solves / wall / len(devices):.1f} per device)")
+
+    if args.png:
+        from contactimplicitmpc_tpu.utils.visuals import plot_runs_2d
+        plot_runs_2d(model, np.asarray(traj.q)[:16], env=env,
+                     path=args.png, stride=max(1, args.steps // 8))
+        print(f"wrote {args.png}")
 
 
 if __name__ == "__main__":

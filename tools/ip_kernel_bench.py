@@ -42,7 +42,7 @@ from contactimplicitmpc_tpu.sim.interior_point import IPOptions, ip_solve
 from contactimplicitmpc_tpu.utils.gaits import load_gait
 
 BATCH = 256
-ITERS = 8
+ITERS = int(os.environ.get("IPKB_ITERS", "8"))
 
 
 def main():
