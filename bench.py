@@ -149,14 +149,25 @@ def main():
 
     newton_iters = int(os.environ.get("CIMPC_BENCH_NEWTON_ITERS", "5"))
 
+    # f32 batch-rollout protections (flat-ground program; hard-terrain
+    # recipes keep the reference's unbounded nonmonotone line search):
+    # bound the no-accept line-search fallback and cold-restart the
+    # Newton warm start after a failed solve — without these, one
+    # borderline f32 control solve can trap a lane's receding-horizon
+    # warm start for the rest of the rollout (TUNING.md, round 4)
+    ls_allow = float(os.environ.get("CIMPC_BENCH_LS_ALLOW", "2.0"))
+    reset_scale = float(os.environ.get("CIMPC_BENCH_RESET_SCALE", "10.0"))
+
     def rollout(q, v):
         return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
                            n_sample, kappa_mpc, CONFIGURATION, q, v,
                            n_opts=NewtonOptions(r_tol=3e-4,
                                                 max_iter=newton_iters,
-                                                fixed_ip_iters=fixed_iters),
+                                                fixed_ip_iters=fixed_iters,
+                                                ls_growth_allow=ls_allow),
                            ip_opts=mpc_ip, sim_opts=sim_opts,
                            warm_start_floor=1e-2, newton_mode=newton_mode,
+                           newton_reset_scale=reset_scale,
                            structure_full_warm=os.environ.get(
                                "CIMPC_BENCH_STRUCT_WARM", "0") == "1")
 

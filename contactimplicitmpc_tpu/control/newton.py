@@ -65,6 +65,15 @@ class NewtonOptions:
     #                          newton.jl:280 / QDLDL role, solver/ldl.jl),
     #                          "lu" = XLA's pivoted jnp.linalg.solve
     #                          (sequential row-swap loop; slower on TPU)
+    ls_growth_allow: float = float("inf")
+    # line-search fallback residual-growth bound when NO trial passes
+    # Armijo: inf reproduces the reference's unconditional forced step
+    # (newton.jl:249 accept-after-6-halvings) — required on hard terrain
+    # (parkour r_norm legitimately fluctuates 0.03→6 across steps);
+    # finite values (e.g. 2.0) reject steps growing the residual by more
+    # than that factor and keep the stale iterate instead — protects
+    # float32 batch rollouts from garbage-KKT uphill steps that trap the
+    # receding-horizon warm start (observed on TPU at batch ≥ 64)
 
 
 class NewtonIndices:
@@ -340,14 +349,21 @@ def newton_solve(
 
         trs, nns, ims, rrs, rns = jax.vmap(trial)(alphas)
         accept = rns ** 2 < (1.0 - 1.0e-3 * alphas) * r_norm_c ** 2
-        # first (largest-α) passing trial; else the last (α = 2⁻⁶),
-        # matching the reference's accept-after-6-halvings behavior
+        # first (largest-α) passing trial; else the least-bad trial —
+        # NOT the reference's unconditional accept-after-6-halvings,
+        # which lets a garbage float32 KKT direction take an uphill step
+        # that traps the receding-horizon warm start
         any_ok = jnp.any(accept)
-        pick = jnp.where(any_ok, jnp.argmax(accept), n_ls - 1)
+        pick = jnp.where(any_ok, jnp.argmax(accept), jnp.argmin(rns))
 
-        # reject non-finite steps (float32 KKT solve blow-up): keep the
-        # current iterate rather than poisoning the rollout with NaNs
+        # keep the current iterate on a non-finite step or (when
+        # ls_growth_allow is finite) one growing the residual beyond the
+        # bound — stale values + retry next period on rejection
+        # (implicit_dynamics.jl:169-177)
         ok_fin = jnp.isfinite(rns[pick])
+        if np.isfinite(opts.ls_growth_allow):
+            ok_fin = ok_fin & (rns[pick] <=
+                               opts.ls_growth_allow * r_norm_c)
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(ok_fin, x, y), a, b)
         take = lambda x: jax.tree_util.tree_map(lambda a: a[pick], x)

@@ -72,6 +72,7 @@ def mpc_rollout(
     w=None,
     sim_model: Optional[Model] = None,
     sim_env=None,
+    newton_reset_scale: float = 0.0,
 ):
     """Closed-loop CIMPC rollout, one jittable program.
 
@@ -189,10 +190,27 @@ def mpc_rollout(
             gamma_max > mpc_opts.altitude_impact_threshold, phi_i, alt)
         return jnp.where(warm, alt_new, alt)
 
+    # Newton failure threshold for the controller-level cold restart: a
+    # control solve that ends with its residual far above tolerance has
+    # garbage duals/primals; warm-starting the NEXT solve from them can
+    # trap the controller in a non-converging feedback loop (observed on
+    # TPU f32 at batch ≥ 64: one borderline step at ~10× r_tol never
+    # recovers for the rest of the rollout). ``newton_reset_scale > 0``
+    # resets the next step's warm start to the reference whenever
+    # r_norm > scale · r_tol · n — the batched analog of the reference's
+    # failure -> stale/reset recovery (implicit_dynamics.jl:169-177) and
+    # of IPOptions.retries in the sim. Default 0 (disabled) = reference
+    # semantics: hard-terrain recipes (parkour) legitimately run 40% of
+    # control steps above any such threshold and NEED the warm start kept.
+    n_norm = (h_mpc - 1) * (dims.nu + 4 * dims.nq) if structure \
+        else h_mpc * (assembler.ind.nr + nd)
+    fail_tol = (newton_reset_scale * n_opts.r_tol * n_norm
+                if newton_reset_scale > 0 else float("inf"))
+
     def control_period(carry, t):
         (ref_rot, warm_state, nu, window, q_ctrl_prev, qa_sim,
-         qb_sim, z_prev, alt, gamma_prev, q_prev) = carry
-        warm = t > 0
+         qb_sim, z_prev, alt, gamma_prev, q_prev, prev_ok) = carry
+        warm = (t > 0) & prev_ok
         if mpc_opts.altitude_update:
             alt = update_altitude(alt, gamma_prev, q_prev, warm)
 
@@ -243,9 +261,10 @@ def mpc_rollout(
                                       w_periods[t])
         qs_period, gammas_period = ys[0], ys[1]
 
+        solve_ok = result.r_norm < fail_tol
         carry = (rot_n_stride(dims, ref_rot, stride), warm_next,
                  nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp,
-                 alt, gammas_period, qs_period)
+                 alt, gammas_period, qs_period, solve_ok)
         return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
                        result.r_norm, result.iterations)
 
@@ -267,7 +286,8 @@ def mpc_rollout(
               ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype),
               jnp.zeros((dims.nc,), dtype),
               jnp.zeros((n_sample, dims.nc), dtype),
-              jnp.zeros((n_sample, dims.nq), dtype))
+              jnp.zeros((n_sample, dims.nq), dtype),
+              jnp.ones((), bool))
     carry0 = unify_varying(carry0)
     _, ((qs, gammas, bs, conv, sim_iters), us, r_norms, n_iters) = \
         jax.lax.scan(control_period, carry0, jnp.arange(n_ctrl))

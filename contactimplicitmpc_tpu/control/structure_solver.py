@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dims import Dims
 from ..sim.interior_point import IPOptions
@@ -489,12 +490,22 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
 
         sts, ps, js, rns = jax.vmap(trial)(alphas)
         accept = rns ** 2 < (1.0 - 1.0e-3 * alphas) * r_norm_c ** 2
-        pick = jnp.where(jnp.any(accept), jnp.argmax(accept), n_ls - 1)
+        # no-accept fallback: the least-bad trial (vs the reference's
+        # unconditional smallest-α forced step)
+        pick = jnp.where(jnp.any(accept), jnp.argmax(accept),
+                         jnp.argmin(rns))
         take = lambda tr: jax.tree_util.tree_map(lambda x: x[pick], tr)
-        # reject non-finite steps outright (float32 block-Cholesky can
-        # fail on an indefinite Y): keep the current iterate instead of
-        # poisoning the whole rollout with NaNs
+        # reject non-finite steps always; additionally reject residual
+        # growth beyond opts.ls_growth_allow when finite (float32
+        # block-Cholesky on a near-indefinite Y can 10× the residual in
+        # one forced uphill step and trap the receding-horizon warm
+        # start — observed on TPU at batch ≥ 64; hard-terrain recipes
+        # instead need unbounded nonmonotone escapes, the inf default).
+        # Stale values + retry next control period on rejection is the
+        # reference's failure semantics (implicit_dynamics.jl:169-177)
         ok = jnp.isfinite(rns[pick])
+        if np.isfinite(opts.ls_growth_allow):
+            ok = ok & (rns[pick] <= opts.ls_growth_allow * r_norm_c)
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(ok, x, y), a, b)
         return (sel(take(sts), st), sel(take(ps), parts_c),
