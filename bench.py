@@ -58,7 +58,11 @@ def main():
 
     batch = int(os.environ.get("CIMPC_BENCH_BATCH", "256"))
     h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
-    fixed_iters = int(os.environ.get("CIMPC_BENCH_FIXED_ITERS", "0"))
+    # deterministic fixed-iteration knot solves are the default product
+    # hot path as of round 4: with refine=1, fixed=8 beats the adaptive
+    # while-loop (375.8 vs 332.9 solves/s) at equal health — measured
+    # sweep in TUNING.md
+    fixed_iters = int(os.environ.get("CIMPC_BENCH_FIXED_ITERS", "8"))
     dtype = jnp.float64 if use_f64 else jnp.float32
 
     import contactimplicitmpc_tpu as ci
@@ -93,7 +97,15 @@ def main():
     # refine=0 default: measured on TPU (batch 64), refinement of the
     # regularized structured solves does not pay for itself in closed
     # loop — health is driven by warm-start quality, not step accuracy
-    refine = int(os.environ.get("CIMPC_BENCH_REFINE", "0"))
+    # refine: float32 iterative-refinement passes per structured solve.
+    # MPC knot solves default to 1 — measured round 4 (TUNING.md): the
+    # closed loop is marginal at gait-transition windows and un-refined
+    # f32 knot solutions/sensitivities tip batch lanes into a
+    # non-recovering regime (success 0.59 -> 0.95, nominal q_err
+    # 0.046 -> 0.0165). The sim path stays at 0: refinement there costs
+    # ~40% wall for no measured health gain.
+    refine = int(os.environ.get("CIMPC_BENCH_REFINE", "1"))
+    sim_refine = int(os.environ.get("CIMPC_BENCH_SIM_REFINE", "0"))
     sim_rtol = float(os.environ.get("CIMPC_BENCH_SIM_RTOL",
                                     "1e-8" if use_f64 else "1e-3"))
     sim_iters = int(os.environ.get("CIMPC_BENCH_SIM_ITERS",
@@ -105,7 +117,7 @@ def main():
                          max_ls=(25 if use_f64 else 6),
                          retries=int(os.environ.get("CIMPC_BENCH_RETRIES",
                                                     "0")),
-                         refine=refine)
+                         refine=sim_refine)
     mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
                        kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
                        gamma_reg=0.1, diff_sol=True, max_ls=3,
