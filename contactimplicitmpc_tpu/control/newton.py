@@ -349,12 +349,15 @@ def newton_solve(
 
         trs, nns, ims, rrs, rns = jax.vmap(trial)(alphas)
         accept = rns ** 2 < (1.0 - 1.0e-3 * alphas) * r_norm_c ** 2
-        # first (largest-α) passing trial; else the least-bad trial —
-        # NOT the reference's unconditional accept-after-6-halvings,
-        # which lets a garbage float32 KKT direction take an uphill step
-        # that traps the receding-horizon warm start
+        # first (largest-α) passing trial; else the fallback: with the
+        # growth bound disabled (inf, the default) the reference's
+        # smallest-α forced step (accept-after-6-halvings, newton.jl:249);
+        # with a finite bound, the least-bad trial, so the `ok_fin` guard
+        # below rejects as rarely as possible
         any_ok = jnp.any(accept)
-        pick = jnp.where(any_ok, jnp.argmax(accept), jnp.argmin(rns))
+        fallback = (n_ls - 1 if not np.isfinite(opts.ls_growth_allow)
+                    else jnp.argmin(rns))
+        pick = jnp.where(any_ok, jnp.argmax(accept), fallback)
 
         # keep the current iterate on a non-finite step or (when
         # ls_growth_allow is finite) one growing the residual beyond the

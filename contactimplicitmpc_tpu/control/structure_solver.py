@@ -490,10 +490,12 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
 
         sts, ps, js, rns = jax.vmap(trial)(alphas)
         accept = rns ** 2 < (1.0 - 1.0e-3 * alphas) * r_norm_c ** 2
-        # no-accept fallback: the least-bad trial (vs the reference's
-        # unconditional smallest-α forced step)
-        pick = jnp.where(jnp.any(accept), jnp.argmax(accept),
-                         jnp.argmin(rns))
+        # no-accept fallback: the reference's smallest-α forced step when
+        # the growth bound is off (inf default, newton.jl:249 semantics);
+        # the least-bad trial when it is on
+        fallback = (n_ls - 1 if not np.isfinite(opts.ls_growth_allow)
+                    else jnp.argmin(rns))
+        pick = jnp.where(jnp.any(accept), jnp.argmax(accept), fallback)
         take = lambda tr: jax.tree_util.tree_map(lambda x: x[pick], tr)
         # reject non-finite steps always; additionally reject residual
         # growth beyond opts.ls_growth_allow when finite (float32
