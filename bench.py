@@ -15,12 +15,13 @@ solves/s, solves/s/chip, and health over the FULL batch. Run with
 CIMPC_BENCH_PLATFORM=cpu + XLA_FLAGS=--xla_force_host_platform_device_count=8
 for the virtual multi-chip measurement.
 
-Prints ONE JSON line on stdout. Environment knobs:
-CIMPC_BENCH_BATCH (default 256), CIMPC_BENCH_STEPS (default 250),
-CIMPC_BENCH_NEWTON (default "structure"),
-CIMPC_BENCH_FIXED_ITERS (default 0: adaptive while-loop knot solves;
->0: deterministic fixed-iteration solves),
-CIMPC_BENCH_F64 (default 0: float32 on TPU).
+Prints ONE JSON line on stdout. The hot-path configuration (knot/sim/
+Newton solver settings) lives in ``contactimplicitmpc_tpu.hotpath``;
+``CIMPC_BENCH_*`` environment variables override individual fields for
+sweeps (see ``main`` below). Other knobs: CIMPC_BENCH_BATCH (default
+256), CIMPC_BENCH_STEPS (default 250), CIMPC_BENCH_F64 (default 0:
+float32 on TPU), CIMPC_BENCH_PERT (conf|gauss initial-state
+distribution), CIMPC_BENCH_PROFILE=<dir> (xprof trace).
 """
 
 import json
@@ -58,70 +59,64 @@ def main():
 
     batch = int(os.environ.get("CIMPC_BENCH_BATCH", "256"))
     h_sim_steps = int(os.environ.get("CIMPC_BENCH_STEPS", "250"))
-    # deterministic fixed-iteration knot solves are the default product
-    # hot path as of round 4: with refine=1, fixed=8 beats the adaptive
-    # while-loop (375.8 vs 332.9 solves/s) at equal health — measured
-    # sweep in TUNING.md
-    fixed_iters = int(os.environ.get("CIMPC_BENCH_FIXED_ITERS", "8"))
     dtype = jnp.float64 if use_f64 else jnp.float32
 
-    import contactimplicitmpc_tpu as ci
-    from contactimplicitmpc_tpu.control import (
-        NewtonOptions, from_gait, initial_conditions, tracking_objective)
-    from contactimplicitmpc_tpu.models import quadruped as model
-    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.control import initial_conditions
+    from contactimplicitmpc_tpu.hotpath import (HotPathConfig,
+                                                make_quadruped_rollout)
     from contactimplicitmpc_tpu.parallel import (make_mesh,
                                                  make_sharded_mpc_rollouts)
-    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
-    from contactimplicitmpc_tpu.utils.gaits import load_gait
 
     devices = jax.devices()
     n_dev = len(devices)
     log(f"devices: {devices}  dtype: {dtype.__name__}")
-    env = ci.flat_2d_lc
-    dims = dims_of(model, env)
-    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
-                    update_friction=True, dtype=dtype)
-    n_sample, h_mpc = 5, 10
-    kappa_mpc = 2.0e-4
+
+    # The product hot-path configuration lives in hotpath.HotPathConfig
+    # (defaults = shipped f32 bench; provenance in TUNING.md; guarded by
+    # tests/test_hotpath.py). Environment variables override individual
+    # fields for sweeps.
+    def env_over(name, field, cast=float):
+        v = os.environ.get(name)
+        return {} if v is None else {field: cast(v)}
+
+    overrides = {}
+    overrides.update(env_over("CIMPC_BENCH_FIXED_ITERS", "fixed_ip_iters",
+                              int))
+    overrides.update(env_over("CIMPC_BENCH_NEWTON_FIXED",
+                              "fixed_newton_iters", int))
+    overrides.update(env_over("CIMPC_BENCH_NEWTON_ITERS", "newton_iters",
+                              int))
+    overrides.update(env_over("CIMPC_BENCH_REFINE", "refine", int))
+    overrides.update(env_over("CIMPC_BENCH_SIM_REFINE", "sim_refine", int))
+    overrides.update(env_over("CIMPC_BENCH_SIM_FIXED", "sim_fixed_iters",
+                              int))
+    overrides.update(env_over("CIMPC_BENCH_SIM_RTOL", "sim_r_tol"))
+    overrides.update(env_over("CIMPC_BENCH_SIM_ITERS", "sim_iters", int))
+    overrides.update(env_over("CIMPC_BENCH_RETRIES", "sim_retries", int))
+    overrides.update(env_over("CIMPC_BENCH_LS_ALLOW", "ls_growth_allow"))
+    overrides.update(env_over("CIMPC_BENCH_RESET_SCALE",
+                              "newton_reset_scale"))
+    overrides.update(env_over("CIMPC_BENCH_NEWTON", "newton_mode", str))
+    if os.environ.get("CIMPC_BENCH_STRUCT_WARM") is not None:
+        overrides["structure_full_warm"] = \
+            os.environ["CIMPC_BENCH_STRUCT_WARM"] == "1"
+    if use_f64:
+        # reference Float64 tolerances (BASELINE.md row "IP solver
+        # tolerances"); the f32 defaults are the f32-feasible recast
+        overrides.setdefault("sim_r_tol", 1e-8)
+        overrides["sim_kappa_tol"] = 1e-8
+        overrides.setdefault("sim_iters", 100)
+        overrides["sim_max_ls"] = 25
+        overrides["mpc_r_tol"] = 1e-8
+    cfg = HotPathConfig(**overrides)
+    log(f"hot path: {cfg}")
+
+    rollout, ref, model, env, dims = make_quadruped_rollout(
+        cfg, h_sim_steps, dtype)
+    n_sample, h_mpc = cfg.n_sample, cfg.h_mpc
     h = float(ref.h)
-
-    qw = 1e-2 * np.array([1.0, 0.02, 0.25] + [0.25] * 8)
-    obj = tracking_objective(
-        dims, h_mpc, q=np.tile(qw, (h_mpc, 1)),
-        u=3e-2 * np.ones((h_mpc, dims.nu)),
-        gamma=1e-100 * np.ones((h_mpc, dims.nc)),
-        b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
-
-    # float32-feasible tolerances (reference Float64 values in BASELINE.md)
-    # refine=0 default: measured on TPU (batch 64), refinement of the
-    # regularized structured solves does not pay for itself in closed
-    # loop — health is driven by warm-start quality, not step accuracy
-    # refine: float32 iterative-refinement passes per structured solve.
-    # MPC knot solves default to 1 — measured round 4 (TUNING.md): the
-    # closed loop is marginal at gait-transition windows and un-refined
-    # f32 knot solutions/sensitivities tip batch lanes into a
-    # non-recovering regime (success 0.59 -> 0.95, nominal q_err
-    # 0.046 -> 0.0165). The sim path stays at 0: refinement there costs
-    # ~40% wall for no measured health gain.
-    refine = int(os.environ.get("CIMPC_BENCH_REFINE", "1"))
-    sim_refine = int(os.environ.get("CIMPC_BENCH_SIM_REFINE", "0"))
-    sim_rtol = float(os.environ.get("CIMPC_BENCH_SIM_RTOL",
-                                    "1e-8" if use_f64 else "1e-3"))
-    sim_iters = int(os.environ.get("CIMPC_BENCH_SIM_ITERS",
-                                   "100" if use_f64 else "40"))
-    sim_opts = IPOptions(r_tol=sim_rtol,
-                         kappa_tol=(1e-8 if use_f64 else 1e-5),
-                         max_iter=sim_iters,
-                         undercut=float("inf"),
-                         max_ls=(25 if use_f64 else 6),
-                         retries=int(os.environ.get("CIMPC_BENCH_RETRIES",
-                                                    "0")),
-                         refine=sim_refine)
-    mpc_ip = IPOptions(r_tol=(1e-8 if use_f64 else 1e-5),
-                       kappa_tol=kappa_mpc, max_iter=30, undercut=5.0,
-                       gamma_reg=0.1, diff_sol=True, max_ls=3,
-                       refine=refine)
+    newton_mode = cfg.newton_mode
+    fixed_iters = cfg.fixed_ip_iters
 
     q1, v1 = initial_conditions(ref)
     key = jax.random.PRNGKey(0)
@@ -151,38 +146,6 @@ def main():
         q1s = q1[None, :] + offsets.at[:, 2:].multiply(0.1)
     v1s = jnp.broadcast_to(v1, (batch, dims.nq)).astype(dtype)
 
-    from contactimplicitmpc_tpu.control.implicit_dynamics import \
-        CONFIGURATION
-    from contactimplicitmpc_tpu.control.rollout import mpc_rollout
-
-    # structure = O(H) Riccati horizon solve — ~1.8x the dense-KKT direct
-    # mode at Monte-Carlo batch sizes, same tracking error
-    newton_mode = os.environ.get("CIMPC_BENCH_NEWTON", "structure")
-
-    newton_iters = int(os.environ.get("CIMPC_BENCH_NEWTON_ITERS", "5"))
-
-    # f32 batch-rollout protections (flat-ground program; hard-terrain
-    # recipes keep the reference's unbounded nonmonotone line search):
-    # bound the no-accept line-search fallback and cold-restart the
-    # Newton warm start after a failed solve — without these, one
-    # borderline f32 control solve can trap a lane's receding-horizon
-    # warm start for the rest of the rollout (TUNING.md, round 4)
-    ls_allow = float(os.environ.get("CIMPC_BENCH_LS_ALLOW", "2.0"))
-    reset_scale = float(os.environ.get("CIMPC_BENCH_RESET_SCALE", "10.0"))
-
-    def rollout(q, v):
-        return mpc_rollout(model, env, ref, obj, h_sim_steps, h_mpc,
-                           n_sample, kappa_mpc, CONFIGURATION, q, v,
-                           n_opts=NewtonOptions(r_tol=3e-4,
-                                                max_iter=newton_iters,
-                                                fixed_ip_iters=fixed_iters,
-                                                ls_growth_allow=ls_allow),
-                           ip_opts=mpc_ip, sim_opts=sim_opts,
-                           warm_start_floor=1e-2, newton_mode=newton_mode,
-                           newton_reset_scale=reset_scale,
-                           structure_full_warm=os.environ.get(
-                               "CIMPC_BENCH_STRUCT_WARM", "0") == "1")
-
     mesh = make_mesh(n_dev)
     assert batch % n_dev == 0, (batch, n_dev)
 
@@ -190,25 +153,45 @@ def main():
 
     t0 = time.time()
     traj, stats = run(q1s, v1s)
-    jax.block_until_ready(stats)
+    jax.block_until_ready((traj, stats))
     log(f"compile+first run: {time.time() - t0:.1f}s "
         f"(cache: {cache_dir})")
 
     # warm timing; CIMPC_BENCH_PROFILE=<dir> captures an xprof trace of
     # the timed region (jax.profiler; the reference's per-stage @elapsed
-    # accounting maps to trace spans here — SURVEY.md §5 tracing row)
+    # accounting maps to trace spans here — SURVEY.md §5 tracing row).
+    # The timed region is made un-fakeable (round-4 postmortem: on the
+    # experimental axon platform block_until_ready(stats) returned
+    # without waiting once the program went fully static, reporting
+    # wall=0.00s): every rep blocks on the FULL output pytree AND pulls a
+    # host-side scalar computed from it — a device→host transfer cannot
+    # complete before the program has actually run.
     profile_dir = os.environ.get("CIMPC_BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     reps = 3
+    sink = 0.0
     t0 = time.time()
     for _ in range(reps):
         traj, stats = run(q1s, v1s)
-        jax.block_until_ready(stats)
+        jax.block_until_ready((traj, stats))
+        sink += float(stats.q_err) + float(traj.q[-1, -1, 0])
     dt = (time.time() - t0) / reps
     if profile_dir:
         jax.profiler.stop_trace()
         log(f"xprof trace written to {profile_dir}")
+    if not np.isfinite(sink):
+        log(f"WARNING: non-finite health checksum ({sink})")
+    # self-consistency guard #1: a 256-lane × 250-step rollout cannot
+    # finish in under half a second on any current chip; a smaller wall
+    # time means the timing sync failed — raise, don't print garbage
+    min_wall = float(os.environ.get("CIMPC_BENCH_MIN_WALL", "0.5"))
+    if dt < min_wall:
+        raise RuntimeError(
+            f"benchmark wall time {dt:.4f}s < {min_wall}s sanity floor: "
+            f"the timed region did not actually synchronize with the "
+            f"device (see BENCH_r04 postmortem in VERDICT.md); refusing "
+            f"to report a throughput number")
 
     n_solves = batch * (h_sim_steps // n_sample)
     solves_per_s = n_solves / dt
@@ -244,22 +227,41 @@ def main():
     # on a laptop, examples/quadruped/flat.jl:77-79). Small batches give
     # the whole chip to few rollouts — wall clock per control period, not
     # aggregate throughput, is what a robot cares about.
+    lane_sps = {}
     if os.environ.get("CIMPC_BENCH_LATENCY", "1") == "1":
         for b in (8, 1):
             run_b = jax.jit(jax.vmap(rollout))
             qb, vb = q1s[:b], v1s[:b]
             out = run_b(qb, vb)
-            jax.block_until_ready(out.q)
+            jax.block_until_ready(out)
             t0 = time.time()
             for _ in range(reps):
                 out = run_b(qb, vb)
-                jax.block_until_ready(out.q)
+                jax.block_until_ready(out)
+                sink += float(out.q[0, -1, 0])
             dt_b = (time.time() - t0) / reps
             sr = h_sim_steps * (h / n_sample) / dt_b
             sps = b * (h_sim_steps // n_sample) / dt_b
+            lane_sps[b] = sps
             log(f"latency batch={b}: {dt_b * 1e3 / (h_sim_steps // n_sample):.2f} ms/solve, "
                 f"speed ratio {sr:.2f}x realtime, {sps:.1f} solves/s, "
                 f"ok={bool(jnp.all(out.sim_converged))}")
+
+    # self-consistency guard #2: aggregate throughput must reconcile with
+    # the independently-timed small-batch latency lanes — going from
+    # batch 8 to batch `batch` can win at most the lane-count factor
+    # (with margin for batching efficiency). BENCH_r04's artifact was
+    # 127,000× the batch-8 rate; anything > ~4× the ideal scaling factor
+    # is a measurement failure, not a speedup.
+    if 8 in lane_sps and lane_sps[8] > 0:
+        max_ratio = 4.0 * max(batch / 8.0, 1.0)
+        if solves_per_s > max_ratio * lane_sps[8]:
+            raise RuntimeError(
+                f"throughput {solves_per_s:.1f} solves/s is "
+                f"{solves_per_s / lane_sps[8]:.0f}× the batch-8 latency "
+                f"lane ({lane_sps[8]:.1f} solves/s) — beyond the "
+                f"{max_ratio:.0f}× plausibility bound; the timed region "
+                f"did not synchronize (BENCH_r04 postmortem)")
 
     print(json.dumps({
         "metric": "cimpc_solves_per_s",

@@ -59,6 +59,15 @@ class NewtonOptions:
     beta_init: float = 1.0e-5
     max_ls: int = 6
     fixed_ip_iters: int = 0  # >0: deterministic fixed-iteration knot solves
+    fixed_newton_iters: int = 0  # >0: run exactly this many masked Newton
+    #                              iterations (lax.fori_loop) instead of
+    #                              the adaptive while_loop; converged
+    #                              lanes pass through untouched. Batched
+    #                              on the axon TPU backend each while
+    #                              trip costs ~1.7 ms of dispatch and is
+    #                              gated by the slowest live lane
+    #                              (TUNING.md) — the same pathology the
+    #                              fixed knot solves eliminated
     kkt_solver: str = "ldl"  # horizon-KKT backend: "ldl" = unpivoted
     #                          LDLᵀ (ops/linsolve.py; the ±β-regularized
     #                          KKT is SQD so no pivoting is needed —
@@ -334,7 +343,15 @@ def newton_solve(
         traj_c, nu_c, beta, imp_c, r_c, r_norm_c, it = carry
 
         jac = assembler.jacobian(obj, imp_c, beta, kappa, dtype)
-        if opts.kkt_solver == "ldl":
+        # unpivoted LDLᵀ is safe on the SQD KKT only while the primal
+        # diagonal stays meaningfully nonzero: in float32 the reference's
+        # 1e-100 γ/b objective weights (CONFIGURATION_FORCE) underflow to
+        # exactly 0, the boosted pivot lands at ~1e-38, and the rank-1
+        # trailing update overflows — fall back to pivoted LU there
+        use_ldl = (opts.kkt_solver == "ldl"
+                   and not (dtype == jnp.float32
+                            and mode == CONFIGURATION_FORCE))
+        if use_ldl:
             from ..ops.linsolve import ldl_solve
             delta = ldl_solve(jac, r_c[:, None])[:, 0]
         else:
@@ -355,8 +372,13 @@ def newton_solve(
         # with a finite bound, the least-bad trial, so the `ok_fin` guard
         # below rejects as rarely as possible
         any_ok = jnp.any(accept)
+        # mask non-finite trials so the least-bad fallback picks the best
+        # FINITE candidate (NaN-propagating argmin would return a NaN
+        # trial's index and force a rejection even when a finite
+        # within-bound trial exists)
         fallback = (n_ls - 1 if not np.isfinite(opts.ls_growth_allow)
-                    else jnp.argmin(rns))
+                    else jnp.argmin(jnp.where(jnp.isfinite(rns), rns,
+                                              jnp.inf)))
         pick = jnp.where(any_ok, jnp.argmax(accept), fallback)
 
         # keep the current iterate on a non-finite step or (when
@@ -390,6 +412,17 @@ def newton_solve(
 
     carry = unify_varying(
         (traj, nu, beta0, imp, r, r_norm, jnp.zeros((), jnp.int32)))
-    traj, nu, beta, _, _, r_norm, it = jax.lax.while_loop(cond, body, carry)
+    if opts.fixed_newton_iters > 0:
+        # deterministic masked-iteration variant (see NewtonOptions):
+        # converged lanes pass through untouched
+        def fbody(_, c):
+            conv = c[5] / r.shape[0] < opts.r_tol
+            new = body(c)
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(conv, o, n), new, c)
+        out = jax.lax.fori_loop(0, opts.fixed_newton_iters, fbody, carry)
+    else:
+        out = jax.lax.while_loop(cond, body, carry)
+    traj, nu, beta, _, _, r_norm, it = out
     return NewtonResult(traj=traj, nu=nu, beta=beta, r_norm=r_norm,
                         iterations=it)

@@ -261,7 +261,15 @@ def mpc_rollout(
                                       w_periods[t])
         qs_period, gammas_period = ys[0], ys[1]
 
-        solve_ok = result.r_norm < fail_tol
+        # newton_reset_scale=0 must reproduce reference semantics exactly
+        # (warm start always kept): gate on the flag, since a NaN r_norm
+        # would otherwise compare False against the inf threshold and
+        # still trigger a restart (the structure solver already sanitizes
+        # non-finite warm-start leaves back to the reference)
+        if newton_reset_scale > 0:
+            solve_ok = result.r_norm < fail_tol
+        else:
+            solve_ok = jnp.ones((), bool)
         carry = (rot_n_stride(dims, ref_rot, stride), warm_next,
                  nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp,
                  alt, gammas_period, qs_period, solve_ok)

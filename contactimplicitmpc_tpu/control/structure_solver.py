@@ -493,8 +493,12 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
         # no-accept fallback: the reference's smallest-α forced step when
         # the growth bound is off (inf default, newton.jl:249 semantics);
         # the least-bad trial when it is on
+        # mask non-finite trials so the least-bad fallback picks the best
+        # FINITE candidate (NaN-propagating argmin would force a
+        # rejection even when a finite within-bound trial exists)
         fallback = (n_ls - 1 if not np.isfinite(opts.ls_growth_allow)
-                    else jnp.argmin(rns))
+                    else jnp.argmin(jnp.where(jnp.isfinite(rns), rns,
+                                              jnp.inf)))
         pick = jnp.where(jnp.any(accept), jnp.argmax(accept), fallback)
         take = lambda tr: jax.tree_util.tree_map(lambda x: x[pick], tr)
         # reject non-finite steps always; additionally reject residual
@@ -521,5 +525,17 @@ def structure_newton_solve(dims: Dims, sobj: StructureObjective,
 
     carry = unify_varying((state, parts, jacs, r_norm,
                            jnp.zeros((), jnp.int32)))
-    state, _, _, r_norm, it = jax.lax.while_loop(cond, body, carry)
+    if opts.fixed_newton_iters > 0:
+        # deterministic masked-iteration variant (see NewtonOptions):
+        # converged lanes pass through untouched — no batched-while
+        # cross-lane gating, no per-trip dispatch overhead
+        def fbody(_, c):
+            conv = c[3] / n_total < opts.r_tol
+            new = body(c)
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(conv, o, n), new, c)
+        out = jax.lax.fori_loop(0, opts.fixed_newton_iters, fbody, carry)
+    else:
+        out = jax.lax.while_loop(cond, body, carry)
+    state, _, _, r_norm, it = out
     return StructureNewtonResult(state=state, r_norm=r_norm, iterations=it)

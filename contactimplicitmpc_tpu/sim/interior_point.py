@@ -72,6 +72,18 @@ class IPOptions:
     #                             solve. NOT against the true Jacobian:
     #                             that iteration diverges whenever the
     #                             clamp is active (near cone boundaries)
+    fixed_iters: int = 0        # >0: run exactly this many masked IP
+    #                             iterations in a lax.fori_loop instead of
+    #                             the adaptive lax.while_loop (max_iter is
+    #                             then ignored). Deterministic on-chip
+    #                             timing — the reference's wall-clock
+    #                             budget role (max_time) — and, batched,
+    #                             no cross-lane while-trip gating: under
+    #                             vmap every live lane gates the whole
+    #                             batch each while trip and the axon
+    #                             backend adds ~1.7 ms dispatch per trip
+    #                             (TUNING.md); a masked fori body of
+    #                             identical math costs ~0.02 ms
 
 
 class IPResult(NamedTuple):
@@ -403,6 +415,19 @@ def ip_solve(
         done0 = (rvio0 <= opts.r_tol) & (kvio0 <= opts.kappa_tol)
         state = unify_varying(
             (z_start, r_init, rvio0, kvio0, it0, done0))
+        if opts.fixed_iters > 0:
+            # deterministic masked-iteration variant (see IPOptions):
+            # converged lanes pass their state through untouched, and a
+            # non-finite trial iterate keeps the last finite one (the
+            # in-loop analog of the post-loop divergence guard, matching
+            # ops/fixed_ip.py)
+            def fbody(_, s):
+                new = body(s)
+                keep = s[5] | jnp.logical_not(
+                    jnp.all(jnp.isfinite(new[0])))
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(keep, o, n), new, s)
+            return jax.lax.fori_loop(0, opts.fixed_iters, fbody, state)
         return jax.lax.while_loop(cond, body, state)
 
     z, _, rvio, kvio, it, done = run_from(z0, jnp.zeros((), jnp.int32))

@@ -141,15 +141,22 @@ def skeleton_2d(model, q) -> Sequence[np.ndarray]:
     return [k[i:i + 1] for i in range(k.shape[0])]
 
 
+def feet_3d(model, q) -> np.ndarray:
+    """World-frame contact-point positions (n_feet, 3) of a 3D model at
+    configuration q, via the model's own kinematics — works for any
+    floating-base model (centroidal/point-foot quadrupeds, hopper_3d),
+    not just the 18-DoF layout."""
+    return np.asarray(model.kinematics(np.asarray(q))).reshape(-1, 3)
+
+
 def skeleton_3d(model, q) -> Sequence[np.ndarray]:
-    """3D polyline skeleton for the floating-base 3D quadrupeds
-    (centroidal/point-foot layout q = [body xyz, body orientation, 4 ×
-    foot xyz] — reference visuals:
-    src/dynamics/centroidal_quadruped/visuals.jl). Returns body→foot
-    segments plus a body orientation triad."""
+    """3D polyline skeleton for floating-base 3D models (reference
+    visuals: src/dynamics/centroidal_quadruped/visuals.jl). Returns
+    body→foot segments plus a body orientation triad. Foot positions
+    come from ``model.kinematics`` so any 3D model renders."""
     q = np.asarray(q)
     body = q[:3]
-    feet = q[6:18].reshape(4, 3)
+    feet = feet_3d(model, q)
     lines = [np.stack([body, f]) for f in feet]
     # orientation triad from the MRP (quaternions.jl / mrp.jl)
     p = q[3:6]
@@ -207,10 +214,11 @@ def animate_3d(model, qs, env=None, path: str = "rollout3d.gif",
                              color=color, lw=2.0, ms=3)
             artists.append(art)
         if gamma is not None and i < len(gamma):
-            feet = qs[i, 6:18].reshape(4, 3)
-            g = gamma[i].reshape(-1)[:4]
+            feet = feet_3d(model, qs[i])
+            nf = feet.shape[0]
+            g = gamma[i].reshape(-1)[:nf]
             art = ax.quiver(feet[:, 0], feet[:, 1], feet[:, 2],
-                            np.zeros(4), np.zeros(4), g * force_scale,
+                            np.zeros(nf), np.zeros(nf), g * force_scale,
                             color="C3", lw=1.5)
             artists.append(art)
         return artists

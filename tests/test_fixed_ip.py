@@ -71,3 +71,85 @@ def test_fixed_ip_batched(setup):
     res = f(lin.z0[:n], lin.theta0[:n], lin.r0[:n], lin.rz0[:n],
             lin.rtheta0[:n], ref.theta[:n], ref.q[2:n + 2])
     assert bool(jnp.all(res.converged))
+
+
+def test_sim_fixed_iters_matches_adaptive():
+    """IPOptions.fixed_iters (masked fori_loop over the FULL nonlinear
+    sim residual) must converge to the same physics step as the adaptive
+    while_loop at the same tolerances."""
+    import dataclasses
+
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.sim.interior_point import (IPOptions,
+                                                           z_initialize)
+    from contactimplicitmpc_tpu.sim.residual import pack_theta, residual
+
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True)
+    h_sim = float(ref.h) / 5
+    mu = jnp.asarray(model.mu_world)
+
+    def r_fn(z, th, kap):
+        return residual(model, env, z, th, kap)
+
+    q0, q1 = ref.q[0], ref.q[1]
+    u = ref.u[0] / 5
+    theta = pack_theta(q0, q1, u, jnp.zeros((dims.nw,)), mu, h_sim)
+    z0 = z_initialize(dims, q1)
+
+    adaptive = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+    fixed = dataclasses.replace(adaptive, fixed_iters=30)
+
+    res_a = ip_solve(dims, r_fn, z0, theta, adaptive)
+    res_f = ip_solve(dims, r_fn, z0, theta, fixed)
+    assert bool(res_a.converged) and bool(res_f.converged), (
+        float(res_a.rvio), float(res_f.rvio))
+    np.testing.assert_allclose(np.asarray(res_f.z[dims.iq2]),
+                               np.asarray(res_a.z[dims.iq2]), atol=1e-7)
+    # masked iterations: a converged lane must pass through untouched,
+    # so the fixed path's iteration counter stops at convergence
+    assert int(res_f.iterations) <= int(res_a.iterations) + 2
+
+
+def test_sim_fixed_iters_vmap_batch():
+    """Batched fixed-iteration sim solves: all lanes converge and agree
+    with the adaptive batch."""
+    import dataclasses
+
+    from contactimplicitmpc_tpu.models import quadruped as model
+    from contactimplicitmpc_tpu.sim.interior_point import (IPOptions,
+                                                           z_initialize)
+    from contactimplicitmpc_tpu.sim.residual import pack_theta, residual
+
+    env = ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("quadruped", "gait2"),
+                    update_friction=True)
+    h_sim = float(ref.h) / 5
+    mu = jnp.asarray(model.mu_world)
+
+    def r_fn(z, th, kap):
+        return residual(model, env, z, th, kap)
+
+    n = 6
+    thetas = jax.vmap(lambda t: pack_theta(
+        ref.q[t], ref.q[t + 1], ref.u[t] / 5, jnp.zeros((dims.nw,)), mu,
+        h_sim))(jnp.arange(n))
+    z0s = jax.vmap(lambda t: z_initialize(dims, ref.q[t + 1]))(
+        jnp.arange(n))
+
+    adaptive = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=100,
+                         undercut=float("inf"), max_ls=6)
+    fixed = dataclasses.replace(adaptive, fixed_iters=30)
+    res_a = jax.vmap(lambda z, t: ip_solve(dims, r_fn, z, t, adaptive))(
+        z0s, thetas)
+    res_f = jax.vmap(lambda z, t: ip_solve(dims, r_fn, z, t, fixed))(
+        z0s, thetas)
+    assert bool(jnp.all(res_a.converged))
+    assert bool(jnp.all(res_f.converged))
+    np.testing.assert_allclose(np.asarray(res_f.z[:, dims.iq2]),
+                               np.asarray(res_a.z[:, dims.iq2]),
+                               atol=1e-7)

@@ -92,3 +92,48 @@ def test_structure_newton_unperturbed_stays(setup):
         NewtonOptions(r_tol=3e-4, max_iter=8), h))()
     err = float(jnp.max(jnp.abs(result.state.qb[2:h + 1] - ref.q[2:h + 1])))
     assert err < 0.02, err
+
+
+def test_structure_newton_fixed_iters_matches(setup):
+    """fixed_newton_iters (masked fori_loop) reaches the same solution as
+    the adaptive while_loop, and converged state passes through masked
+    extra iterations untouched."""
+    import dataclasses
+
+    model, env, dims, ref, lin = setup
+    h = 10
+    dtype = ref.q.dtype
+    qw = jnp.tile(jnp.asarray(1e-2 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    vw = jnp.tile(jnp.asarray(1e-3 * np.array([0.1, 3, 1, 3])), (h + 1, 1))
+    uw = jnp.tile(jnp.asarray([3e-3, 1e0]), (h + 1, 1))
+    sobj = build_structure_objective(dims, qw, vw, uw, 1e-5, h, dtype)
+
+    lin_w = gather(lin, jnp.arange(h - 1))
+    q_ref = ref.q[:h + 1]
+    u_ref = ref.u[:h - 1]
+    theta_template = ref.theta[:h - 1]
+    state0 = state_from_reference(q_ref, u_ref, dims, h, dtype)
+    ip_opts = default_mpc_ip_options(1.0e-4, max_iter=30)
+    q0 = ref.q[0] + jnp.asarray([0.0, 0.05, 0.02, 0.0], dtype)
+    q1 = ref.q[1] + jnp.asarray([0.0, 0.05, 0.02, 0.0], dtype)
+    alt = jnp.zeros((dims.nc,), dtype)
+
+    adaptive = NewtonOptions(r_tol=1e-6, max_iter=8)
+    fixed = dataclasses.replace(adaptive, fixed_newton_iters=8)
+
+    res_a = jax.jit(lambda: structure_newton_solve(
+        dims, sobj, lin_w, q_ref, u_ref, theta_template, q0, q1, state0,
+        alt, ip_opts, adaptive, h))()
+    res_f = jax.jit(lambda: structure_newton_solve(
+        dims, sobj, lin_w, q_ref, u_ref, theta_template, q0, q1, state0,
+        alt, ip_opts, fixed, h))()
+
+    n_total = (h - 1) * (dims.nu + 4 * dims.nq)
+    assert float(res_f.r_norm) / n_total < 1e-6, float(res_f.r_norm)
+    np.testing.assert_allclose(np.asarray(res_f.state.u[1:h]),
+                               np.asarray(res_a.state.u[1:h]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f.state.qb[2:h + 1]),
+                               np.asarray(res_a.state.qb[2:h + 1]),
+                               atol=1e-6)
+    # masked pass-through: the counter freezes once converged
+    assert int(res_f.iterations) <= int(res_a.iterations) + 1
