@@ -58,3 +58,75 @@ def raibert_policy(model, h: float, v0: float = 0.5,
         return u * h, state  # impulse scaling (2D.jl:91)
 
     return init_state, apply
+
+
+def mrp_to_euler_xyz(p):
+    """XYZ Euler angles (θ1, θ2, θ3) of the MRP rotation — the branchless
+    analog of ``RotXYZ(MRP(...))`` (3D.jl:59-63). Convention
+    R = Rx(θ1)·Ry(θ2)·Rz(θ3), so θ2 = asin(R[0,2]),
+    θ1 = atan2(−R[1,2], R[2,2]), θ3 = atan2(−R[0,1], R[0,0])."""
+    from ..models.rotations import mrp_rotation_matrix
+    r = mrp_rotation_matrix(p)
+    t2 = jnp.arcsin(jnp.clip(r[0, 2], -1.0, 1.0))
+    t1 = jnp.arctan2(-r[1, 2], r[2, 2])
+    t3 = jnp.arctan2(-r[0, 1], r[0, 0])
+    return jnp.stack([t1, t2, t3])
+
+
+def raibert_policy_3d(model, h: float, v0=(0.0, 0.2),
+                      t_stance: float = 0.13, t_flight: float = 0.62,
+                      r_ref: float = 0.5,
+                      kr_c: float = 8e1, kr_p: float = -1e3,
+                      kr_v_stance: float = -1e-2,
+                      kr_v_flight: float = -1e1,
+                      ktheta_c: float = 0.0, ktheta_p: float = -6e1,
+                      ktheta_v: float = -1e1,
+                      contact_threshold: float = 1.5e-2):
+    """Raibert policy for the 3D hopper — gains and two-phase structure
+    from raibert_policy / Raibert3D
+    (``/root/reference/examples/raibert/policy/3D.jl:27-110``), made
+    branchless (``jnp.where`` over stance/flight, safe-normalized
+    velocity direction) so it scans/vmaps. q = (xyz, MRP, r); u =
+    (roll torque, pitch torque, leg force)."""
+    v0 = jnp.asarray(v0, jnp.float64).astype(jnp.result_type(float))
+    theta_td = jnp.arcsin(v0 * t_stance / (2.0 * r_ref)) / 2.0
+    flight_ratio = t_flight / t_stance
+
+    def init_state():
+        return ()
+
+    def apply(state, obs):
+        dtype = obs.q1.dtype
+        contact = jnp.any(obs.gamma > contact_threshold)
+        qv = (obs.q1 - obs.q0) / h
+        eul0 = mrp_to_euler_xyz(obs.q0[3:6])
+        eul1 = mrp_to_euler_xyz(obs.q1[3:6])
+        theta_v = (eul1 - eul0) / h
+        r_v, r1 = qv[6], obs.q1[6]
+
+        # normalized planar heading (3D.jl:94, safe at rest)
+        vxy = qv[:2]
+        nrm = jnp.sqrt(jnp.sum(vxy * vxy))
+        dir_ = jnp.where(nrm > 1e-8, vxy / jnp.maximum(nrm, 1e-8),
+                         jnp.zeros_like(vxy))
+
+        # stance (3D.jl:97-100): servo Euler angles toward the
+        # direction-signed touchdown angles with the flight/stance boost
+        u1_st = dir_[1] * ktheta_c + ktheta_p * \
+            (eul1[0] + dir_[1] * theta_td[0]) * flight_ratio
+        u2_st = dir_[0] * ktheta_c + ktheta_p * \
+            (eul1[1] + dir_[0] * theta_td[1]) * flight_ratio
+        u3_st = kr_c + kr_p * (r1 - r_ref) + kr_v_stance * r_v
+        # flight (3D.jl:102-106)
+        u1_fl = ktheta_p * (eul1[0] - dir_[1] * theta_td[0]) + \
+            ktheta_v * theta_v[0]
+        u2_fl = ktheta_p * (eul1[1] - dir_[0] * theta_td[1]) + \
+            ktheta_v * theta_v[1]
+        u3_fl = kr_p * (r1 - r_ref) + kr_v_flight * r_v
+
+        u = jnp.stack([jnp.where(contact, u1_st, u1_fl),
+                       jnp.where(contact, u2_st, u2_fl),
+                       jnp.where(contact, u3_st, u3_fl)]).astype(dtype)
+        return u * h, state  # impulse scaling (3D.jl:108)
+
+    return init_state, apply

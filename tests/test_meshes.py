@@ -1,0 +1,91 @@
+"""Mesh-class rendering smoke tests (visualize_meshrobot! parity,
+/root/reference/src/visuals.jl:55-96): quadruped and centroidal
+quadruped must render body geometry (not stick figures) to an artifact
+file."""
+
+import os
+
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.models import (centroidal_quadruped, flamingo,
+                                           hopper_2d, hopper_3d, quadruped)
+from contactimplicitmpc_tpu.utils.meshes import (animate_mesh_2d,
+                                                 animate_mesh_3d,
+                                                 body_faces_3d,
+                                                 body_polygons_2d,
+                                                 render_still)
+
+
+def test_quadruped_body_polygons():
+    q = np.zeros(11)
+    q[1] = 0.3
+    polys = body_polygons_2d(quadruped, q)
+    # torso + 4 legs × (2 capsules + foot disc) = 13 filled volumes
+    assert len(polys) >= 10
+    for poly, color in polys:
+        assert poly.ndim == 2 and poly.shape[1] == 2
+        assert np.all(np.isfinite(poly))
+
+
+def test_centroidal_body_faces():
+    q = np.zeros(18)
+    q[2] = 0.3
+    q[6:18] = np.array([0.2, 0.15, 0.0, 0.2, -0.15, 0.0,
+                        -0.2, 0.15, 0.0, -0.2, -0.15, 0.0])
+    groups = body_faces_3d(centroidal_quadruped, q)
+    # torso box + 4 × (leg capsule + foot sphere)
+    assert len(groups) == 9
+    for faces, color in groups:
+        assert len(faces) >= 1
+        for f in faces:
+            assert f.ndim == 2 and f.shape[1] == 3
+            assert np.all(np.isfinite(f))
+
+
+def test_hopper_3d_body_faces():
+    """Any 3D model renders via its own kinematics (no 18-DoF
+    hardcoding)."""
+    q = np.zeros(7)
+    q[2] = 0.5
+    groups = body_faces_3d(hopper_3d, q)
+    assert len(groups) == 3
+
+
+def test_render_still_artifacts(tmp_path):
+    q2 = np.zeros(11)
+    q2[1] = 0.3
+    p1 = render_still(quadruped, q2, ci.flat_2d_lc,
+                      path=str(tmp_path / "quadruped_mesh.png"))
+    assert os.path.getsize(p1) > 5000
+
+    q3 = np.zeros(18)
+    q3[2] = 0.3
+    q3[6:18] = np.array([0.2, 0.15, 0.0, 0.2, -0.15, 0.0,
+                         -0.2, 0.15, 0.0, -0.2, -0.15, 0.0])
+    p2 = render_still(centroidal_quadruped, q3,
+                      path=str(tmp_path / "centroidal_mesh.png"))
+    assert os.path.getsize(p2) > 5000
+
+
+def test_animate_mesh_2d(tmp_path):
+    qs = np.zeros((10, 11))
+    qs[:, 1] = 0.3
+    qs[:, 0] = np.linspace(0, 0.5, 10)
+    path = animate_mesh_2d(quadruped, qs, ci.flat_2d_lc,
+                           path=str(tmp_path / "quadruped_mesh.gif"),
+                           every=2, gamma=np.ones((10, 4)) * 0.1)
+    assert os.path.getsize(path) > 5000
+
+
+def test_animate_mesh_3d(tmp_path):
+    qs = np.zeros((8, 18))
+    qs[:, 2] = 0.3
+    qs[:, 6:18] = np.array([0.2, 0.15, 0.0, 0.2, -0.15, 0.0,
+                            -0.2, 0.15, 0.0, -0.2, -0.15, 0.0])
+    qs[:, 0] = np.linspace(0, 0.3, 8)
+    path = animate_mesh_3d(centroidal_quadruped, qs,
+                           path=str(tmp_path / "centroidal_mesh.gif"),
+                           every=2)
+    assert os.path.getsize(path) > 5000

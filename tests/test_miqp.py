@@ -1,0 +1,36 @@
+"""MIQP wall-pendulum baseline (examples/miqp_wallpendulum.py —
+/root/reference/examples/miqp/miqp.jl parity): the batched-enumeration
+hybrid MPC must reject the reference's disturbance schedule."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "examples")
+
+
+@pytest.mark.parametrize("kick", [-15.5, 15.5])
+def test_wall_pendulum_rejects_kick(kick):
+    from miqp_wallpendulum import make_wall_mpc
+
+    dt = 0.04
+    mpc_step, sim_step, th, n_seq = make_wall_mpc(T=20, dt=dt)
+    assert n_seq > 100
+
+    x = jnp.array([0.0, 0.0])
+    max_th = 0.0
+    for t in range(160):
+        if t == 20:
+            x = x.at[1].add(kick * dt)
+        u, _ = mpc_step(x)
+        assert abs(float(u)) <= 4.0 + 1e-9
+        x = sim_step(x, float(u))
+        max_th = max(max_th, abs(float(x[0])))
+        assert np.all(np.isfinite(np.asarray(x))), t
+    # stays inside the mode domains (walls at ±0.1, outer edge ±0.2) and
+    # returns toward upright (miqp.jl recovery behavior)
+    assert max_th < 0.2, max_th
+    assert abs(float(x[0])) < 0.06, float(x[0])
+    assert abs(float(x[1])) < 0.5, float(x[1])
