@@ -24,6 +24,7 @@ float32 on TPU), CIMPC_BENCH_PERT (conf|gauss initial-state
 distribution), CIMPC_BENCH_PROFILE=<dir> (xprof trace).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -229,8 +230,18 @@ def main():
     # aggregate throughput, is what a robot cares about.
     lane_sps = {}
     if os.environ.get("CIMPC_BENCH_LATENCY", "1") == "1":
+        # The latency lanes run the ADAPTIVE sim interior point even when
+        # the throughput path runs masked fixed iterations: at batch ≤ 8
+        # the batched while_loop is gated by at most 8 lanes (~5 trips,
+        # near the per-lane mean) and beats a fixed budget sized for the
+        # 256-lane tail; at batch 256 the gating inverts the trade
+        # (measured round 5, TUNING.md). Both configurations are product
+        # paths: HotPathConfig.sim_fixed_iters selects per deployment.
+        lat_cfg = dataclasses.replace(cfg, sim_fixed_iters=0)
+        rollout_lat, *_ = make_quadruped_rollout(lat_cfg, h_sim_steps,
+                                                 dtype)
         for b in (8, 1):
-            run_b = jax.jit(jax.vmap(rollout))
+            run_b = jax.jit(jax.vmap(rollout_lat))
             qb, vb = q1s[:b], v1s[:b]
             out = run_b(qb, vb)
             jax.block_until_ready(out)

@@ -167,9 +167,19 @@ def mpc_rollout(
                 z0 = z_initialize(dims, qb)
             res = ip_solve(dims, r_fn, z0, theta, sim_opts)
             q2 = res.z[dims.iq2]
-            # a failed solve must not warm-start the next step: fall back
-            # to the cold initializer so one bad step can't cascade
-            z_carry = jnp.where(res.converged, res.z,
+            # warm-start policy for the next step: a DIVERGED solve must
+            # not seed it (poisoned cone variables), but a merely
+            # near-converged one (rvio within 100× tolerance — common
+            # under fixed-iteration budgets at contact transitions) is a
+            # far better seed than the cold initializer. Cold-resetting
+            # on every strict-flag failure creates a failure cascade:
+            # the cold-started next solve needs ~2× the iterations, also
+            # overruns the budget, and the lane never recovers (measured
+            # round 5: fixed=8 step convergence 0.79 with strict reset
+            # vs 2.5% true >8-iteration steps).
+            warm_ok = res.converged | (
+                res.rvio < 100.0 * sim_opts.r_tol)
+            z_carry = jnp.where(warm_ok, res.z,
                                 z_initialize(dims, q2, dtype))
             return (qb, q2, z_carry), (q2, res.z[dims.igamma1],
                                        res.z[dims.ib1], res.converged,

@@ -1,0 +1,152 @@
+"""Hopper CI-MPC on rough terrain: sine, piecewise slope, and 3D sine.
+
+Mirrors of ``/root/reference/examples/hopper/``:
+
+* ``sine.jl`` — 2D hopper, flat-ground controller model + altitude
+  updates, simulated on ``sine2_2D_lc`` (gait_forward, N_sample 5,
+  H_mpc 10, κ 2e-4)
+* ``piecewise.jl`` — same controller on the piecewise slope terrain
+* ``3D_sine.jl`` — 3D hopper forward gait on ``sine2_3D_lc``
+  (N_sample 10, H_mpc 20, κ 1e-4, altitude threshold 0.05)
+
+The controller is always linearized about the FLAT environment; terrain
+enters only through the simulated physics + the altitude discovery loop
+(update_altitude!, mpc_utils.jl:109-135) — the paper's terrain-blind
+MPC experiment.
+
+Run: python examples/hopper_terrain.py [--case sine|piecewise|sine3d] [--cpu] [--f64]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", type=str, default="all")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control import (
+        CONFIGURATION, CIMPCOptions, NewtonOptions, ci_mpc_policy,
+        from_gait, initial_conditions, tracking_objective)
+    from contactimplicitmpc_tpu.control.implicit_dynamics import \
+        default_mpc_ip_options
+    from contactimplicitmpc_tpu.models import hopper_2d, hopper_3d
+    from contactimplicitmpc_tpu.models.base import dims_of
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+    from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    sim_opts = None
+    if not args.f64:
+        sim_opts = IPOptions(r_tol=1e-3, kappa_tol=1e-5, max_iter=40,
+                             undercut=float("inf"), max_ls=6)
+
+    def run_2d(sim_env_name, steps):
+        """sine.jl / piecewise.jl recipe (flat controller env)."""
+        model, env = hopper_2d, ci.flat_2d_lc
+        dims = dims_of(model, env)
+        ref = from_gait(model, env, load_gait("hopper_2D", "gait_forward"),
+                        dtype=dtype)
+        n_sample, h_mpc, kappa = 5, 10, 2.0e-4
+        # weights sine.jl:31-35
+        obj = tracking_objective(
+            dims, h_mpc,
+            q=np.tile(1e-1 * np.array([0.1, 3.0, 1.0, 3.0]), (h_mpc, 1)),
+            u=np.tile([1e-3, 1e0], (h_mpc, 1)),
+            gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+            b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+        policy = ci_mpc_policy(
+            model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+            kappa_mpc=kappa, mode=CONFIGURATION,
+            n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+            ip_opts=default_mpc_ip_options(kappa, max_iter=30),
+            mpc_opts=CIMPCOptions(altitude_update=True,
+                                  altitude_impact_threshold=0.05))
+        q1, v1 = initial_conditions(ref)
+        h = float(ref.h)
+        fn = jax.jit(lambda q, v: ci.simulate(
+            model, ci.ENVIRONMENTS[sim_env_name], steps, h / n_sample,
+            q, v, policy=policy, opts=sim_opts))
+        traj = jax.block_until_ready(fn(q1.astype(dtype),
+                                        v1.astype(dtype)))
+        return model, traj, h / n_sample
+
+    def run_3d(sim_env_name, steps):
+        """3D_sine.jl recipe."""
+        model, env = hopper_3d, ci.flat_3d_lc
+        dims = dims_of(model, env)
+        ref = from_gait(model, env, load_gait("hopper_3D", "gait_forward"),
+                        dtype=dtype)
+        n_sample, h_mpc, kappa = 10, 20, 1.0e-4
+        # weights 3D_sine.jl:38-42
+        obj = tracking_objective(
+            dims, h_mpc,
+            q=np.tile(1e-1 * np.array([3, 3, 0.1, 50, 50, 50, 10.0]),
+                      (h_mpc, 1)),
+            u=np.tile([1e-1, 1e-1, 1e1], (h_mpc, 1)),
+            gamma=1e-100 * np.ones((h_mpc, dims.nc)),
+            b=1e-100 * np.ones((h_mpc, dims.nb)), dtype=dtype)
+        policy = ci_mpc_policy(
+            model, env, ref, obj, h_mpc=h_mpc, n_sample=n_sample,
+            kappa_mpc=kappa, mode=CONFIGURATION,
+            n_opts=NewtonOptions(r_tol=3e-4, max_iter=5),
+            ip_opts=default_mpc_ip_options(kappa, max_iter=30),
+            mpc_opts=CIMPCOptions(altitude_update=True,
+                                  altitude_impact_threshold=0.05))
+        q1, v1 = initial_conditions(ref)
+        h = float(ref.h)
+        fn = jax.jit(lambda q, v: ci.simulate(
+            model, ci.ENVIRONMENTS[sim_env_name], steps, h / n_sample,
+            q, v, policy=policy, opts=sim_opts))
+        traj = jax.block_until_ready(fn(q1.astype(dtype),
+                                        v1.astype(dtype)))
+        return model, traj, h / n_sample
+
+    cases = {
+        "sine": lambda s: run_2d("sine2_2D_lc", s),
+        "piecewise": lambda s: run_2d("piecewise1_2D_lc", s),
+        "sine3d": lambda s: run_3d("sine2_3D_lc", s),
+    }
+    names = list(cases) if args.case == "all" else [args.case]
+    last = None
+    for name in names:
+        t0 = time.time()
+        model, traj, h_sim = cases[name](args.steps)
+        dt = time.time() - t0
+        q = np.asarray(traj.q)
+        conv = np.asarray(traj.converged)
+        fwd = q[-1, 0] - q[1, 0]
+        print(f"{name}: steps={args.steps} convergence={conv.mean():.4f} "
+              f"forward={fwd:+.2f} m ({dt:.1f}s incl. compile)")
+        last = (model, q)
+
+    if args.gif and last is not None:
+        model, q = last
+        if q.shape[1] >= 7:
+            from contactimplicitmpc_tpu.utils.visuals import animate_3d
+            animate_3d(model, q[::10], path=args.gif)
+        else:
+            from contactimplicitmpc_tpu.utils.visuals import animate_2d
+            animate_2d(model, q[::10], path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Raibert heuristic baseline — 3D and terrain variants.
+
+Mirrors of ``/root/reference/examples/raibert/``:
+
+* ``flat_raibert_3D.jl`` — 3D hopper, flat ground, v0 = [0, 0.2]
+* ``sine_raibert.jl`` — 2D hopper on the sinusoidal terrain
+  (``sine2_2D_lc``), v0 = 0.2
+* ``sine_raibert_3D.jl`` — 3D hopper on the 3D sinusoidal terrain
+* ``piecewise_raibert.jl`` — 2D hopper on the piecewise slope terrain
+
+All four rollouts run as ONE jitted program each (the policy is
+branchless, so terrain variants differ only in the environment operand).
+The reference runs each as a separate interactive script; here
+``--case`` selects one, default runs all.
+
+Run: python examples/raibert_variants.py [--case flat3d|sine2d|sine3d|piecewise] [--cpu]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", type=str, default="all")
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gif", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    # pure-sim workload, reference Float64 tolerances (flat_raibert_3D.jl)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import contactimplicitmpc_tpu as ci
+    from contactimplicitmpc_tpu.control.raibert import (raibert_policy,
+                                                        raibert_policy_3d)
+    from contactimplicitmpc_tpu.models import hopper_2d, hopper_3d
+    from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=150,
+                     undercut=float("inf"), max_ls=25, retries=2)
+
+    def run_2d(env, v0, steps):
+        """2D hopper cases (sine_raibert.jl / piecewise_raibert.jl:
+        h = 0.1 gait, N_sample 5 → h_sim 0.02, start at [0, 0.5, 0, 0.5])."""
+        h_sim = 0.02
+        q1 = jnp.array([0.0, 0.5, 0.0, 0.5])
+        v1 = jnp.array([v0, 0.0, 0.0, 0.0])
+        policy = raibert_policy(hopper_2d, h=h_sim, v0=v0)
+        traj = jax.jit(lambda q, v: ci.simulate(
+            hopper_2d, env, steps, h_sim, q, v, policy=policy,
+            opts=opts))(q1, v1)
+        jax.block_until_ready(traj.q)
+        return traj, h_sim
+
+    def run_3d(env, v0, steps):
+        """3D hopper cases (flat_raibert_3D.jl: h = 0.01, N_sample 5 →
+        h_sim 0.002; drop from z = 1.0 with the commanded velocity)."""
+        h_sim = 0.002
+        q1 = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5])
+        v1 = jnp.array([v0[0], v0[1], 0.0, 0.0, 0.0, 0.0, 0.0])
+        policy = raibert_policy_3d(hopper_3d, h=h_sim, v0=v0)
+        traj = jax.jit(lambda q, v: ci.simulate(
+            hopper_3d, env, steps, h_sim, q, v, policy=policy,
+            opts=opts))(q1, v1)
+        jax.block_until_ready(traj.q)
+        return traj, h_sim
+
+    cases = {
+        "flat3d": lambda s: run_3d(ci.flat_3d_lc, (0.0, 0.2), s),
+        "sine2d": lambda s: run_2d(ci.ENVIRONMENTS["sine2_2D_lc"], 0.2, s),
+        "sine3d": lambda s: run_3d(ci.ENVIRONMENTS["sine2_3D_lc"],
+                                   (0.0, 0.2), s),
+        "piecewise": lambda s: run_2d(ci.ENVIRONMENTS["piecewise1_2D_lc"],
+                                      0.2, s),
+    }
+    names = list(cases) if args.case == "all" else [args.case]
+    last = None
+    for name in names:
+        t0 = time.time()
+        traj, h_sim = cases[name](args.steps)
+        dt = time.time() - t0
+        q = np.asarray(traj.q)
+        conv = np.asarray(traj.converged)
+        fwd_axis = 1 if q.shape[1] >= 7 else 0   # 3D hops along y
+        progress = q[-1, fwd_axis] - q[1, fwd_axis]
+        print(f"{name}: steps={args.steps} convergence="
+              f"{conv.mean():.4f} forward={progress:+.2f} m "
+              f"avg v={progress / (args.steps * h_sim):+.3f} m/s "
+              f"({dt:.1f}s incl. compile)")
+        last = (name, traj, q)
+
+    if args.gif and last is not None:
+        name, traj, q = last
+        if q.shape[1] >= 7:
+            from contactimplicitmpc_tpu.utils.visuals import animate_3d
+            animate_3d(hopper_3d, q[::10], path=args.gif)
+        else:
+            from contactimplicitmpc_tpu.utils.visuals import animate_2d
+            animate_2d(hopper_2d, q[::10], path=args.gif)
+        print(f"wrote {args.gif}")
+
+
+if __name__ == "__main__":
+    main()

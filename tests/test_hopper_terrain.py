@@ -1,0 +1,27 @@
+"""Hopper terrain recipes (examples/hopper/sine.jl, piecewise.jl,
+3D_sine.jl parity): the flat-model MPC with altitude discovery must
+track the forward gait across each terrain.
+
+gait_forward (2D): 92 knots × h=0.01 → 0.108 m/s nominal speed.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.parametrize("case,min_fwd", [("sine", 0.05),
+                                          ("piecewise", 0.05)])
+def test_hopper_terrain_2d(case, min_fwd):
+    out = subprocess.run(
+        [sys.executable, "examples/hopper_terrain.py", "--case", case,
+         "--steps", "500", "--cpu"],
+        capture_output=True, text=True, timeout=500, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith(case)][-1]
+    conv = float(line.split("convergence=")[1].split()[0])
+    fwd = float(line.split("forward=")[1].split()[0])
+    assert conv > 0.98, line
+    # 500 steps × h_sim 0.002 = 1.0 s → ≈ 0.11 m at gait speed
+    assert fwd > min_fwd, line

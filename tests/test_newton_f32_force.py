@@ -1,0 +1,89 @@
+"""f32 CONFIGURATION_FORCE direct-mode Newton regression (round-4
+advisor finding): the reference's 1e-100 γ/b objective weights underflow
+to 0 in float32, which overflows the unpivoted-LDLᵀ KKT backend's
+trailing update; newton_solve must detect this configuration and produce
+a usable step (it falls back to pivoted LU at trace time)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control import from_gait
+from contactimplicitmpc_tpu.control.implicit_dynamics import (
+    CONFIGURATION_FORCE, default_mpc_ip_options, nd_of)
+from contactimplicitmpc_tpu.control.linearized import (gather,
+                                                       linearize_trajectory)
+from contactimplicitmpc_tpu.control.newton import (NewtonAssembler,
+                                                   NewtonOptions,
+                                                   newton_solve)
+from contactimplicitmpc_tpu.control.objective import tracking_objective
+from contactimplicitmpc_tpu.control.trajectory import ContactTraj
+from contactimplicitmpc_tpu.models import hopper_2d
+from contactimplicitmpc_tpu.models.base import dims_of
+from contactimplicitmpc_tpu.utils.gaits import load_gait
+
+
+def _solve(dtype, kkt_solver):
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    ref = from_gait(model, env, load_gait("hopper_2D", "gait_in_place"),
+                    kappa=1e-4, dtype=dtype)
+    lin_full = linearize_trajectory(model, env, ref, 1e-4)
+    h = 10
+    mode = CONFIGURATION_FORCE
+    assembler = NewtonAssembler(dims, h, mode)
+    # reference-style weights incl. the 1e-100 γ/b entries that underflow
+    # to exactly 0 in f32 (mpc_hopper recipe)
+    obj = tracking_objective(
+        dims, h, q=np.tile(1e-1 * np.array([0.1, 3, 1, 3]), (h, 1)),
+        u=np.tile([1e-3, 1e0], (h, 1)),
+        gamma=1e-100 * np.ones((h, dims.nc)),
+        b=1e-100 * np.ones((h, dims.nb)), dtype=dtype)
+
+    def slice_h(traj):
+        return ContactTraj(h=traj.h, kappa=traj.kappa,
+                           q=traj.q[:h + 2], u=traj.u[:h],
+                           w=traj.w[:h], gamma=traj.gamma[:h],
+                           b=traj.b[:h], z=traj.z[:h],
+                           theta=traj.theta[:h])
+
+    lin = gather(lin_full, jnp.arange(h))
+    ref_w = slice_h(ref)
+    nu0 = jnp.zeros((h, nd_of(dims, mode)), dtype)
+    q0 = ref.q[0] + jnp.asarray([0.0, 0.03, 0.01, 0.0], dtype)
+    q1 = ref.q[1] + jnp.asarray([0.0, 0.03, 0.01, 0.0], dtype)
+    ip_opts = dataclasses.replace(default_mpc_ip_options(1e-4, max_iter=30),
+                                  refine=1 if dtype == jnp.float32 else 0)
+    n_opts = NewtonOptions(r_tol=3e-4, max_iter=8, kkt_solver=kkt_solver)
+    res = jax.jit(lambda: newton_solve(
+        dims, mode, assembler, obj, lin, ref_w, ref_w, nu0, q0, q1,
+        jnp.zeros((dims.nc,), dtype), ip_opts, n_opts))()
+    return res, ref
+
+
+def test_f32_force_mode_ldl_default_usable():
+    """At the shipped 'ldl' default, f32 CONFIGURATION_FORCE must not
+    stall: the step is finite and the residual decreases materially."""
+    res32, ref = _solve(jnp.float32, "ldl")
+    assert np.all(np.isfinite(np.asarray(res32.traj.u)))
+    assert np.isfinite(float(res32.r_norm))
+    assert int(res32.iterations) >= 1
+
+    res64, _ = _solve(jnp.float64, "ldl")
+    # f32 lands near the f64 solution (loose: conditioning ~1e3 in f32)
+    du = np.abs(np.asarray(res32.traj.u, np.float64)
+                - np.asarray(res64.traj.u))
+    assert du.max() < 0.2, du.max()
+    # and the Newton solve converged by its own normalized criterion
+    # (f32 floors the absolute L1 residual around 1e-2 at this size;
+    # the per-row residual is what the solver's r_tol contract uses)
+    model, env = hopper_2d, ci.flat_2d_lc
+    dims = dims_of(model, env)
+    n_total = 10 * (dims.nu + dims.nc + dims.nb + 2 * dims.nq
+                    + dims.nc + dims.nb)
+    assert float(res32.r_norm) / n_total < 2 * 3e-4, \
+        (float(res32.r_norm), n_total)

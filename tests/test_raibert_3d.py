@@ -1,0 +1,64 @@
+"""Raibert 3D policy (examples/raibert/flat_raibert_3D.jl parity):
+the heuristic baseline must hop forward on the 3D hopper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control.raibert import (mrp_to_euler_xyz,
+                                                    raibert_policy_3d)
+from contactimplicitmpc_tpu.models import hopper_3d as model
+from contactimplicitmpc_tpu.models.rotations import mrp_rotation_matrix
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+
+
+def test_mrp_euler_roundtrip():
+    """XYZ Euler extraction inverts Rx·Ry·Rz for small angles."""
+    for angles in ([0.1, -0.2, 0.15], [0.0, 0.0, 0.0], [0.3, 0.1, -0.2]):
+        t1, t2, t3 = angles
+        cx, sx = np.cos(t1), np.sin(t1)
+        cy, sy = np.cos(t2), np.sin(t2)
+        cz, sz = np.cos(t3), np.sin(t3)
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        rot = rx @ ry @ rz
+        # rotation → MRP: p = axis·tan(θ/4)
+        w = np.array([rot[2, 1] - rot[1, 2], rot[0, 2] - rot[2, 0],
+                      rot[1, 0] - rot[0, 1]])
+        angle = np.arccos((np.trace(rot) - 1) / 2)
+        if angle > 1e-12:
+            axis = w / (2 * np.sin(angle))
+            p = axis * np.tan(angle / 4)
+        else:
+            p = np.zeros(3)
+        np.testing.assert_allclose(
+            np.asarray(mrp_rotation_matrix(jnp.asarray(p))), rot,
+            atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(mrp_to_euler_xyz(jnp.asarray(p))), angles,
+            atol=1e-8)
+
+
+def test_raibert_3d_hops_forward():
+    h_sim = 0.002
+    steps = 1500
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=150,
+                     undercut=float("inf"), max_ls=25, retries=2)
+    q1 = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5])
+    v1 = jnp.array([0.0, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0])
+    policy = raibert_policy_3d(model, h=h_sim, v0=(0.0, 0.2))
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, ci.flat_3d_lc, steps, h_sim, q, v, policy=policy,
+        opts=opts))(q1, v1)
+    conv = np.asarray(traj.converged)
+    q = np.asarray(traj.q)
+    # landing impacts may fail individual solves at 1e-8 tolerance; the
+    # rollout must stay overwhelmingly healthy and finite
+    assert conv.mean() > 0.99, conv.mean()
+    assert np.all(np.isfinite(q))
+    # moves in the commanded +y direction and keeps hopping
+    assert q[-1, 1] > 0.4, q[-1, 1]
+    assert q[:, 2].max() > 0.6      # airborne phases
+    assert q[:, 2].min() > 0.2      # never collapses

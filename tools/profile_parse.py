@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Parse a jax.profiler xplane trace (captured via
+``CIMPC_BENCH_PROFILE=<dir> python bench.py``) into a TPU-time
+breakdown — the publishable answer to "where do the milliseconds go"
+(SURVEY.md §5 tracing; VERDICT r4 item 3).
+
+Usage: python tools/profile_parse.py <trace_dir> [top_n]
+"""
+
+import glob
+import json
+import sys
+
+
+def main():
+    trace_dir = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        print(f"no .xplane.pb under {trace_dir}")
+        return 1
+    path = max(paths, key=lambda p: len(open(p, "rb").read(8)))
+    print(f"trace: {path}")
+
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    for tool in ("framework_op_stats^", "op_profile^"):
+        try:
+            data, _ = raw_to_tool_data.xspace_to_tool_data([path], tool, {})
+        except Exception as e:  # tool coverage varies by version
+            print(f"{tool}: {type(e).__name__}: {e}")
+            continue
+        if tool == "framework_op_stats^":
+            try:
+                rows = _parse_op_stats(data)
+            except Exception as e:
+                print(f"parse failed: {e}; raw head:")
+                print(str(data)[:2000])
+                continue
+            total = sum(r[1] for r in rows)
+            print(f"\n== self-time by op ({tool}), total {total:.1f} us ==")
+            for name, t in rows[:top_n]:
+                print(f"{t / max(total, 1e-9) * 100:6.2f}%  "
+                      f"{t:12.1f} us  {name[:100]}")
+            return 0
+    print("falling back: dumping op_profile json head")
+    print(str(data)[:4000])
+    return 0
+
+
+def _parse_op_stats(data):
+    """framework_op_stats arrives as gviz JSON or CSV depending on
+    version; normalize to [(name, self_time_us)] sorted desc."""
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    rows = []
+    try:
+        obj = json.loads(data)
+        table = obj[0] if isinstance(obj, list) else obj
+        cols = [c.get("label", c.get("id", "")) for c in table["cols"]]
+        i_name = next(i for i, c in enumerate(cols)
+                      if "name" in c.lower() or "operation" in c.lower())
+        i_time = next(i for i, c in enumerate(cols)
+                      if "self" in c.lower() and "time" in c.lower())
+        for r in table["rows"]:
+            c = r["c"]
+            rows.append((str(c[i_name]["v"]), float(c[i_time]["v"])))
+    except Exception:
+        # CSV fallback
+        lines = data.splitlines()
+        hdr = lines[0].split(",")
+        i_name = next(i for i, c in enumerate(hdr)
+                      if "name" in c.lower() or "operation" in c.lower())
+        i_time = next(i for i, c in enumerate(hdr)
+                      if "self" in c.lower() and "time" in c.lower())
+        for line in lines[1:]:
+            parts = line.split(",")
+            if len(parts) <= max(i_name, i_time):
+                continue
+            try:
+                rows.append((parts[i_name], float(parts[i_time])))
+            except ValueError:
+                continue
+    rows.sort(key=lambda r: -r[1])
+    return rows
+
+
+if __name__ == "__main__":
+    sys.exit(main())
