@@ -91,6 +91,8 @@ def main():
     overrides.update(env_over("CIMPC_BENCH_SIM_REFINE", "sim_refine", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_FIXED", "sim_fixed_iters",
                               int))
+    overrides.update(env_over("CIMPC_BENCH_SIM_UNROLL", "sim_unroll", int))
+    overrides.update(env_over("CIMPC_BENCH_MPC_UNROLL", "mpc_unroll", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_RTOL", "sim_r_tol"))
     overrides.update(env_over("CIMPC_BENCH_SIM_ITERS", "sim_iters", int))
     overrides.update(env_over("CIMPC_BENCH_RETRIES", "sim_retries", int))
@@ -202,6 +204,31 @@ def main():
 
     log(f"mesh: {mesh.devices.shape} axes={mesh.axis_names} "
         f"n_devices={n_dev}")
+    # success_rate (stats) is the reference's strict status() contract:
+    # EVERY sim step converged. Also report the per-lane converged-step
+    # fraction so a strict-flag tail (a few near-tolerance steps under a
+    # fixed iteration budget) is distinguishable from true lane
+    # divergence.
+    conv = jnp.mean(traj.sim_converged.astype(jnp.float32), axis=1)
+    log(f"lane convergence: strict-all={float(jnp.mean(jnp.asarray(conv == 1.0, jnp.float32))):.3f} "
+        f">=99% steps={float(jnp.mean(jnp.asarray(conv >= 0.99, jnp.float32))):.3f} "
+        f">=95% steps={float(jnp.mean(jnp.asarray(conv >= 0.95, jnp.float32))):.3f} "
+        f"min lane={float(jnp.min(conv)):.3f}")
+    # calibrate flag failures: marginal (rvio within a few × r_tol) vs
+    # genuinely unconverged
+    failed = jnp.logical_not(traj.sim_converged)
+    nf = float(jnp.sum(failed.astype(jnp.float32)))
+    if nf > 0:
+        fr = jnp.where(failed, traj.sim_rvio, 0.0)
+        n2 = float(jnp.sum((failed & (traj.sim_rvio < 2 * cfg.sim_r_tol))
+                           .astype(jnp.float32)))
+        n10 = float(jnp.sum((failed & (traj.sim_rvio < 10 * cfg.sim_r_tol))
+                            .astype(jnp.float32)))
+        log(f"failed-step rvio: n={int(nf)} "
+            f"({nf / traj.sim_converged.size * 100:.2f}% of steps), "
+            f"within 2x r_tol {n2 / nf * 100:.0f}%, "
+            f"within 10x {n10 / nf * 100:.0f}%, "
+            f"max {float(jnp.max(fr)):.2e}")
     log(f"rollout health (full batch {int(float(stats.n_rollouts))}): "
         f"success_rate={float(stats.success_rate):.3f} "
         f"q_err={float(stats.q_err):.4f} u_err={float(stats.u_err):.4f} "

@@ -47,6 +47,11 @@ class MPCRollout(NamedTuple):
     # per-sim-step interior-point iterations — free extra scan outputs
     newton_iterations: jnp.ndarray  # (T/N_sample,)
     sim_iterations: jnp.ndarray     # (T,)
+    sim_rvio: jnp.ndarray           # (T,) final equality-residual
+    #                                 violation per sim step — calibrates
+    #                                 the strict flag: a "failed" step at
+    #                                 rvio ≈ r_tol is marginal, not
+    #                                 divergent
 
 
 def mpc_rollout(
@@ -183,7 +188,7 @@ def mpc_rollout(
                                 z_initialize(dims, q2, dtype))
             return (qb, q2, z_carry), (q2, res.z[dims.igamma1],
                                        res.z[dims.ib1], res.converged,
-                                       res.iterations)
+                                       res.iterations, res.rvio)
 
         (qa, qb, zp), ys = jax.lax.scan(step, (q0, q1, z_prev), w_period)
         return qa, qb, zp, ys
@@ -307,7 +312,7 @@ def mpc_rollout(
               jnp.zeros((n_sample, dims.nq), dtype),
               jnp.ones((), bool))
     carry0 = unify_varying(carry0)
-    _, ((qs, gammas, bs, conv, sim_iters), us, r_norms, n_iters) = \
+    _, ((qs, gammas, bs, conv, sim_iters, rvios), us, r_norms, n_iters) = \
         jax.lax.scan(control_period, carry0, jnp.arange(n_ctrl))
 
     qs = qs.reshape(horizon_sim, dims.nq)
@@ -318,4 +323,5 @@ def mpc_rollout(
                       sim_converged=conv.reshape(horizon_sim),
                       mpc_r_norm=r_norms,
                       newton_iterations=n_iters,
-                      sim_iterations=sim_iters.reshape(horizon_sim))
+                      sim_iterations=sim_iters.reshape(horizon_sim),
+                      sim_rvio=rvios.reshape(horizon_sim))

@@ -53,6 +53,7 @@ class HotPathConfig:
     gamma_reg: float = 0.1
     mpc_max_ls: int = 3
     refine: int = 1                  # knot-solve refinement (TUNING.md)
+    mpc_unroll: int = 1              # unroll factor, knot fixed-ip loop
 
     # simulation-path interior point
     sim_r_tol: float = 1.0e-3
@@ -61,6 +62,7 @@ class HotPathConfig:
     sim_max_ls: int = 6
     sim_refine: int = 0
     sim_fixed_iters: int = 0         # 0 = adaptive while_loop
+    sim_unroll: int = 1              # unroll factor, sim fixed-ip loop
     sim_retries: int = 0
 
     # warm starts
@@ -80,7 +82,8 @@ class HotPathConfig:
         return IPOptions(r_tol=self.mpc_r_tol, kappa_tol=self.kappa_mpc,
                          max_iter=self.mpc_ip_iters, undercut=5.0,
                          gamma_reg=self.gamma_reg, diff_sol=True,
-                         max_ls=self.mpc_max_ls, refine=self.refine)
+                         max_ls=self.mpc_max_ls, refine=self.refine,
+                         unroll=self.mpc_unroll)
 
     def sim_ip_options(self):
         from .sim.interior_point import IPOptions
@@ -89,7 +92,8 @@ class HotPathConfig:
                          max_iter=self.sim_iters,
                          undercut=float("inf"), max_ls=self.sim_max_ls,
                          retries=self.sim_retries, refine=self.sim_refine,
-                         fixed_iters=self.sim_fixed_iters)
+                         fixed_iters=self.sim_fixed_iters,
+                         unroll=self.sim_unroll)
 
 
 def quadruped_tracking_weights(dims, h_mpc, dtype):

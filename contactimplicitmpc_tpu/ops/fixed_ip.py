@@ -174,7 +174,8 @@ def linearized_ip_fixed(dims: Dims, z0_lin, theta0, r0, rz0, rtheta0,
         return (z, done | done_now)
 
     z, done = jax.lax.fori_loop(
-        0, iters, body, unify_varying((z_init, jnp.zeros((), bool))))
+        0, iters, body, unify_varying((z_init, jnp.zeros((), bool))),
+        unroll=max(1, opts.unroll))
 
     r_final = residual(z, jnp.zeros((), dtype))
     rvio, kvio = violations(r_final)

@@ -72,6 +72,14 @@ class IPOptions:
     #                             solve. NOT against the true Jacobian:
     #                             that iteration diverges whenever the
     #                             clamp is active (near cone boundaries)
+    unroll: int = 1             # unroll factor for the fixed-iteration
+    #                             loops (sim path here; knot path in
+    #                             ops/fixed_ip.py reads the same field):
+    #                             the axon TPU backend charges ~50 μs of
+    #                             control overhead per while/fori trip
+    #                             (measured trace, TUNING.md r5), so
+    #                             unrolling trades program size for the
+    #                             dominant cost at small batch
     fixed_iters: int = 0        # >0: run exactly this many masked IP
     #                             iterations in a lax.fori_loop instead of
     #                             the adaptive lax.while_loop (max_iter is
@@ -427,7 +435,8 @@ def ip_solve(
                     jnp.all(jnp.isfinite(new[0])))
                 return jax.tree_util.tree_map(
                     lambda n, o: jnp.where(keep, o, n), new, s)
-            return jax.lax.fori_loop(0, opts.fixed_iters, fbody, state)
+            return jax.lax.fori_loop(0, opts.fixed_iters, fbody, state,
+                                     unroll=max(1, opts.unroll))
         return jax.lax.while_loop(cond, body, state)
 
     z, _, rvio, kvio, it, done = run_from(z0, jnp.zeros((), jnp.int32))

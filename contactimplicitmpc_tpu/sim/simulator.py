@@ -199,12 +199,18 @@ def simulate(
     disturbances=None,
     friction: Optional[float] = None,
     opts: Optional[IPOptions] = None,
+    live_plotter=None,
 ) -> SimTrajectory:
     """Roll the physics forward ``horizon`` steps from ``(q1, v1)``.
 
     Equivalent of ``simulator(...)`` + ``simulate!(sim, q1, v1)``
     (simulator.jl:15-63). ``q0 = q1 − h v1`` seeds the two-configuration
     state of the variational integrator.
+
+    ``live_plotter`` (utils.live.LivePlotter) streams configurations to
+    the host during the jitted rollout and refreshes a plot file — the
+    ``CIMPCOptions.live_plotting`` debug loop of the reference
+    (mpc_utils.jl:156-183) recast as a ``jax.debug.callback``.
     """
     dims = dims_of(model, env)
     opts = opts or default_sim_options()
@@ -231,6 +237,9 @@ def simulate(
         q2 = res.z[dims.iq2]
         gamma = res.z[dims.igamma1]
         b = res.z[dims.ib1]
+        if live_plotter is not None:
+            jax.debug.callback(live_plotter.record, t, q2, u, gamma,
+                               ordered=True)
         out = (q2, u, w, gamma, b, res.z, res.converged, res.iterations)
         return (qb, q2, pstate, dstate, gamma), out
 

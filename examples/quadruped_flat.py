@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--gif", type=str, default=None)
+    ap.add_argument("--mesh-gif", type=str, default=None,
+                    help="mesh-style (filled body geometry) animation")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -94,6 +96,13 @@ def main():
         from contactimplicitmpc_tpu.utils.visuals import animate_2d
         animate_2d(model, np.asarray(out.q), path=args.gif, every=10)
         print(f"wrote {args.gif}")
+
+
+    if args.mesh_gif:
+        from contactimplicitmpc_tpu.utils.meshes import animate_mesh_2d
+        animate_mesh_2d(model, np.asarray(out.q), path=args.mesh_gif,
+                        every=10)
+        print(f"wrote {args.mesh_gif}")
 
 
 if __name__ == "__main__":

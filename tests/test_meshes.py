@@ -89,3 +89,22 @@ def test_animate_mesh_3d(tmp_path):
                            path=str(tmp_path / "centroidal_mesh.gif"),
                            every=2)
     assert os.path.getsize(path) > 5000
+
+
+def test_live_plotter(tmp_path):
+    """live_plotting analog: states stream out of the jitted rollout and
+    the plot artifact lands on disk (mpc_utils.jl:156-183 role)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contactimplicitmpc_tpu.models import particle_2d
+    from contactimplicitmpc_tpu.utils.live import LivePlotter
+
+    lp = LivePlotter(every=10, path=str(tmp_path / "live.png"))
+    traj = jax.jit(lambda q, v: ci.simulate(
+        particle_2d, ci.flat_2d_lc, 60, 0.01, q, v,
+        live_plotter=lp))(jnp.array([0.0, 1.0]), jnp.array([2.0, 0.0]))
+    jax.block_until_ready(traj.q)
+    assert len(lp.ts) == 60
+    assert lp.flush() is not None
+    assert os.path.getsize(tmp_path / "live.png") > 5000
