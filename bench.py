@@ -87,6 +87,8 @@ def main():
                               "fixed_newton_iters", int))
     overrides.update(env_over("CIMPC_BENCH_NEWTON_ITERS", "newton_iters",
                               int))
+    overrides.update(env_over("CIMPC_BENCH_NEWTON_LS", "newton_max_ls",
+                              int))
     overrides.update(env_over("CIMPC_BENCH_REFINE", "refine", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_REFINE", "sim_refine", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_FIXED", "sim_fixed_iters",

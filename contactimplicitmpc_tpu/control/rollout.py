@@ -32,7 +32,7 @@ from ..utils.vma import unify_varying
 from .implicit_dynamics import nd_of
 from .linearized import gather, linearize_trajectory
 from .newton import NewtonAssembler, NewtonOptions, newton_solve
-from .trajectory import ContactTraj, get_stride, rot_n_stride
+from .trajectory import (ContactTraj, get_stride, update_theta, update_z)
 
 
 class MPCRollout(NamedTuple):
@@ -134,6 +134,32 @@ def mpc_rollout(
                            b=traj.b[:h_mpc], z=traj.z[:h_mpc],
                            theta=traj.theta[:h_mpc])
 
+    def ref_window_at(t):
+        """Rows [t, t+h_mpc) of the receding-horizon reference — the
+        closed form of t applications of rotate! + mpc_stride!
+        (mpc_utils.jl:1-107). The rotated gait's extended rows satisfy
+        V[j] = q[j] for j ≤ H+1 and V[j] = V[j−H] + stride past them, so
+        the window is a gather + a wrap-count stride offset. Building it
+        per period (instead of carrying the rotated gait through the
+        scan) removes the H_ref-sized PER-LANE loop-carried arrays —
+        loop-state copies were 18% of device time at batch 8 and the
+        rotation itself rewrote every gait row each period (TUNING.md
+        round 5)."""
+        rows2 = t + jnp.arange(h_mpc + 2)
+        jm2 = rows2 - 2
+        q_wrap = (ref_traj.q[(jm2 % h_ref) + 2]
+                  + (jm2 // h_ref).astype(dtype)[:, None] * stride[None, :])
+        q = jnp.where((rows2 <= 1)[:, None],
+                      ref_traj.q[jnp.clip(rows2, 0, 1)], q_wrap)
+        rows = (t + jnp.arange(h_mpc)) % h_ref
+        win = ContactTraj(h=ref_traj.h, kappa=ref_traj.kappa, q=q,
+                          u=ref_traj.u[rows], w=ref_traj.w[rows],
+                          gamma=ref_traj.gamma[rows], b=ref_traj.b[rows],
+                          z=ref_traj.z[rows], theta=ref_traj.theta[rows])
+        # refresh the q-dependent slots of z and θ for the wrapped rows
+        # (rot_n_stride parity)
+        return update_theta(dims, update_z(dims, win))
+
     # the physics may run a different model/terrain from the controller's —
     # robustness-to-model-mismatch studies (payload.jl:8-18 simulates the
     # loaded quadruped under the no-load controller; parkour.jl runs the
@@ -223,13 +249,14 @@ def mpc_rollout(
                 if newton_reset_scale > 0 else float("inf"))
 
     def control_period(carry, t):
-        (ref_rot, warm_state, nu, window, q_ctrl_prev, qa_sim,
+        (warm_state, nu, q_ctrl_prev, qa_sim,
          qb_sim, z_prev, alt, gamma_prev, q_prev, prev_ok) = carry
         warm = (t > 0) & prev_ok
         if mpc_opts.altitude_update:
             alt = update_altitude(alt, gamma_prev, q_prev, warm)
 
-        ref_window = slice_h(ref_rot)
+        ref_window = ref_window_at(t)
+        window = (t + jnp.arange(h_mpc, dtype=jnp.int32)) % h_ref
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(warm, x, y), a, b)
 
@@ -285,8 +312,7 @@ def mpc_rollout(
             solve_ok = result.r_norm < fail_tol
         else:
             solve_ok = jnp.ones((), bool)
-        carry = (rot_n_stride(dims, ref_rot, stride), warm_next,
-                 nu_next, (window + 1) % h_ref, qb_sim, qa, qb, zp,
+        carry = (warm_next, nu_next, qb_sim, qa, qb, zp,
                  alt, gammas_period, qs_period, solve_ok)
         return carry, (ys, jnp.broadcast_to(u / n_sample, (n_sample, dims.nu)),
                        result.r_norm, result.iterations)
@@ -304,8 +330,7 @@ def mpc_rollout(
     else:
         warm0 = slice_h(ref_traj)
         nu0 = jnp.zeros((h_mpc, nd), dtype)
-    carry0 = (ref_traj, warm0, nu0,
-              jnp.arange(h_mpc, dtype=jnp.int32),
+    carry0 = (warm0, nu0,
               ref_traj.q[0], q0, q1, z_initialize(dims, q1, dtype),
               jnp.zeros((dims.nc,), dtype),
               jnp.zeros((n_sample, dims.nc), dtype),

@@ -42,6 +42,7 @@ class HotPathConfig:
     # Newton options (control/newton.py provenance comments)
     newton_r_tol: float = 3.0e-4
     newton_iters: int = 5
+    newton_max_ls: int = 6           # line-search halvings (newton.jl:249)
     fixed_ip_iters: int = 8          # TUNING.md: fixed=8 + refine=1
     fixed_newton_iters: int = 0      # 0 = adaptive while_loop
     ls_growth_allow: float = 2.0     # bounded no-accept fallback (f32)
@@ -61,7 +62,13 @@ class HotPathConfig:
     sim_iters: int = 40
     sim_max_ls: int = 6
     sim_refine: int = 0
-    sim_fixed_iters: int = 0         # 0 = adaptive while_loop
+    sim_fixed_iters: int = 24        # masked fixed-iteration sim solves
+    #                                  (TUNING.md r5 sweep: adaptive
+    #                                  strict-success health at +29%
+    #                                  throughput; 0 = adaptive
+    #                                  while_loop — the better setting
+    #                                  at batch ≤ 8, which bench.py's
+    #                                  latency lanes select)
     sim_unroll: int = 1              # unroll factor, sim fixed-ip loop
     sim_retries: int = 0
 
@@ -73,6 +80,7 @@ class HotPathConfig:
         from .control.newton import NewtonOptions
         return NewtonOptions(r_tol=self.newton_r_tol,
                              max_iter=self.newton_iters,
+                             max_ls=self.newton_max_ls,
                              fixed_ip_iters=self.fixed_ip_iters,
                              fixed_newton_iters=self.fixed_newton_iters,
                              ls_growth_allow=self.ls_growth_allow)
