@@ -113,6 +113,10 @@ def main():
         overrides.setdefault("sim_iters", 100)
         overrides["sim_max_ls"] = 25
         overrides["mpc_r_tol"] = 1e-8
+        # the fixed-iteration budget (24) was tuned against the f32
+        # tolerances; at 1e-8 the f64 reference-parity bench needs the
+        # adaptive loop
+        overrides.setdefault("sim_fixed_iters", 0)
     cfg = HotPathConfig(**overrides)
     log(f"hot path: {cfg}")
 
@@ -187,10 +191,14 @@ def main():
         log(f"xprof trace written to {profile_dir}")
     if not np.isfinite(sink):
         log(f"WARNING: non-finite health checksum ({sink})")
-    # self-consistency guard #1: a 256-lane × 250-step rollout cannot
-    # finish in under half a second on any current chip; a smaller wall
-    # time means the timing sync failed — raise, don't print garbage
-    min_wall = float(os.environ.get("CIMPC_BENCH_MIN_WALL", "0.5"))
+    # self-consistency guard #1: the default 256-lane × 250-step rollout
+    # cannot finish in under half a second on any current chip; a
+    # smaller wall time means the timing sync failed — raise, don't
+    # print garbage. The floor scales with the actual workload so small
+    # tuning sweeps (fewer lanes/steps) don't trip it.
+    min_wall_default = 0.5 * (batch * h_sim_steps) / (256.0 * 250.0)
+    min_wall = float(os.environ.get("CIMPC_BENCH_MIN_WALL",
+                                    str(min_wall_default)))
     if dt < min_wall:
         raise RuntimeError(
             f"benchmark wall time {dt:.4f}s < {min_wall}s sanity floor: "

@@ -323,6 +323,15 @@ def newton_solve(
     h = traj.horizon
     kappa = jnp.asarray(ip_opts.kappa_tol, dtype)
 
+    # sanitize the warm start: any non-finite leaf (a diverged previous
+    # f32 solve) falls back to the reference value — the same recovery
+    # the structure solver applies (implicit_dynamics.jl:169-177
+    # semantics); without it a poisoned warm trajectory re-enters every
+    # subsequent receding-horizon solve
+    traj = jax.tree_util.tree_map(
+        lambda w, r: jnp.where(jnp.isfinite(w), w, r), traj, ref)
+    nu = jnp.where(jnp.isfinite(nu), nu, jnp.zeros_like(nu))
+
     # reset (newton.jl:130-167): pin the measured configurations
     q = traj.q.at[0].set(q0).at[1].set(q1)
     traj = update_theta(dims, traj._replace(q=q))

@@ -58,8 +58,8 @@ class LivePlotter:
         qs = np.stack(self.qs)
         coords = (list(self.coords) if self.coords is not None
                   else list(range(min(4, qs.shape[1]))))
-        fig, axes = plt.subplots(len(coords) + 1, 1,
-                                 figsize=(8, 2 * (len(coords) + 1)),
+        fig, axes = plt.subplots(len(coords) + 2, 1,
+                                 figsize=(8, 2 * (len(coords) + 2)),
                                  sharex=True)
         t = np.asarray(self.ts)
         for ax, c in zip(axes, coords):
@@ -70,6 +70,10 @@ class LivePlotter:
                 ax.plot(tr[m], self.ref_q[m, c], "--", lw=1.0,
                         label=f"ref q[{c}]")
             ax.legend(loc="best", fontsize=8)
+        us = np.stack(self.us)
+        for i in range(us.shape[1]):
+            axes[-2].plot(t, us[:, i], lw=0.9, label=f"u[{i}]")
+        axes[-2].legend(loc="best", fontsize=8)
         gam = np.stack(self.gammas)
         for i in range(gam.shape[1]):
             axes[-1].plot(t, gam[:, i], lw=0.9, label=f"γ[{i}]")

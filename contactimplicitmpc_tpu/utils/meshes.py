@@ -33,11 +33,14 @@ def capsule_2d(p0, p1, r: float, n: int = 9) -> np.ndarray:
     d = p1 - p0
     L = float(np.hypot(*d))
     ang = np.arctan2(d[1], d[0]) if L > 1e-12 else 0.0
+    # forward cap sweeps the half-disc facing +axis at p1
+    # (ang−π/2 … ang+π/2), back cap the opposite half-disc at p0 — the
+    # boundary then traces p1's cap, crosses to p0, traces its cap, and
+    # closes: a proper stadium with the shaft interior inside
     ts = np.linspace(-np.pi / 2, np.pi / 2, n)
-    cap1 = np.stack([np.cos(ts + ang - np.pi / 2),
-                     np.sin(ts + ang - np.pi / 2)], axis=1)
-    cap0 = np.stack([np.cos(ts + ang + np.pi / 2),
-                     np.sin(ts + ang + np.pi / 2)], axis=1)
+    cap1 = np.stack([np.cos(ts + ang), np.sin(ts + ang)], axis=1)
+    cap0 = np.stack([np.cos(ts + ang + np.pi),
+                     np.sin(ts + ang + np.pi)], axis=1)
     return np.concatenate([p1 + r * cap1, p0 + r * cap0], axis=0)
 
 

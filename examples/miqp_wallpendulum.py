@@ -152,8 +152,10 @@ def make_wall_mpc(T=10, dt=0.04, Q=1.0, Qf=50.0, R=1.0, beta=1e3):
         # boundary (the wall spring constant k=1e4 enters c as a ±40
         # velocity offset per step), so even sliver violations invalidate
         # the sequence's model — the penalty must act as a hard
-        # constraint, like Gurobi's big-M rows (structures.jl:210-214)
-        beta_q = 1.0e7
+        # constraint. The reference's β=1e3 is Gurobi's big-M magnitude
+        # (structures.jl:210-214); the quadratic hinge needs it scaled up
+        # by ~1e4 to be boundary-stiff at this problem's units
+        beta_q = 1.0e4 * beta
         u = jnp.clip(-jnp.linalg.solve(H0 + 1e-9 * jnp.eye(T), b0),
                      -u_lim, u_lim)
         for _ in range(6):

@@ -108,3 +108,26 @@ def test_live_plotter(tmp_path):
     assert len(lp.ts) == 60
     assert lp.flush() is not None
     assert os.path.getsize(tmp_path / "live.png") > 5000
+
+
+def test_capsule_polygon_contains_shaft():
+    """The capsule boundary must enclose the shaft interior (regression:
+    the round-5 review found the end caps rotated 90° off, yielding a
+    degenerate self-overlapping polygon)."""
+    from matplotlib.path import Path
+
+    from contactimplicitmpc_tpu.utils.meshes import capsule_2d
+
+    poly = capsule_2d([0.0, 0.0], [1.0, 0.0], 0.1)
+    p = Path(poly)
+    assert p.contains_point((0.5, 0.05))
+    assert p.contains_point((0.5, -0.05))
+    assert p.contains_point((1.08, 0.0))
+    assert p.contains_point((-0.08, 0.0))
+    assert not p.contains_point((0.5, 0.15))
+    assert not p.contains_point((1.2, 0.0))
+    # rotated segment too
+    poly = capsule_2d([0.0, 0.0], [0.0, 1.0], 0.05)
+    p = Path(poly)
+    assert p.contains_point((0.02, 0.5))
+    assert p.contains_point((0.0, 1.03))

@@ -1,0 +1,36 @@
+"""Raibert terrain variants (examples/raibert/sine_raibert.jl,
+piecewise_raibert.jl parity): the 2D heuristic hopper must make forward
+progress across rough terrain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contactimplicitmpc_tpu as ci
+from contactimplicitmpc_tpu.control.raibert import raibert_policy
+from contactimplicitmpc_tpu.models import hopper_2d as model
+from contactimplicitmpc_tpu.sim.interior_point import IPOptions
+
+
+@pytest.mark.parametrize("env_name", ["sine2_2D_lc", "piecewise1_2D_lc"])
+def test_raibert_2d_terrain(env_name):
+    h_sim = 0.02
+    steps = 700
+    opts = IPOptions(r_tol=1e-8, kappa_tol=1e-8, max_iter=150,
+                     undercut=float("inf"), max_ls=25, retries=2)
+    q1 = jnp.array([0.0, 0.5, 0.0, 0.5])
+    v1 = jnp.array([0.2, 0.0, 0.0, 0.0])
+    policy = raibert_policy(model, h=h_sim, v0=0.2)
+    traj = jax.jit(lambda q, v: ci.simulate(
+        model, ci.ENVIRONMENTS[env_name], steps, h_sim, q, v,
+        policy=policy, opts=opts))(q1, v1)
+    conv = np.asarray(traj.converged)
+    q = np.asarray(traj.q)
+    assert conv.mean() > 0.99, conv.mean()
+    assert np.all(np.isfinite(q))
+    # forward progress at roughly the commanded velocity (0.2 m/s over
+    # 14 s ≈ 2.8 m; terrain slows it down)
+    assert q[-1, 0] > 1.0, q[-1, 0]
+    # stays upright and keeps hopping
+    assert np.abs(q[:, 2]).max() < 1.0

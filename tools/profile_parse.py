@@ -9,6 +9,7 @@ Usage: python tools/profile_parse.py <trace_dir> [top_n]
 
 import glob
 import json
+import os
 import sys
 
 
@@ -19,11 +20,12 @@ def main():
     if not paths:
         print(f"no .xplane.pb under {trace_dir}")
         return 1
-    path = max(paths, key=lambda p: len(open(p, "rb").read(8)))
+    path = max(paths, key=os.path.getsize)  # the device plane dominates
     print(f"trace: {path}")
 
     from tensorboard_plugin_profile.convert import raw_to_tool_data
 
+    data = None
     for tool in ("framework_op_stats^", "op_profile^"):
         try:
             data, _ = raw_to_tool_data.xspace_to_tool_data([path], tool, {})
@@ -43,6 +45,9 @@ def main():
                 print(f"{t / max(total, 1e-9) * 100:6.2f}%  "
                       f"{t:12.1f} us  {name[:100]}")
             return 0
+    if data is None:
+        print("no tool conversion succeeded (see per-tool errors above)")
+        return 1
     print("falling back: dumping op_profile json head")
     print(str(data)[:4000])
     return 0
