@@ -83,6 +83,8 @@ def main():
     overrides = {}
     overrides.update(env_over("CIMPC_BENCH_FIXED_ITERS", "fixed_ip_iters",
                               int))
+    overrides.update(env_over("CIMPC_BENCH_TRIAL_ITERS", "trial_ip_iters",
+                              int))
     overrides.update(env_over("CIMPC_BENCH_NEWTON_FIXED",
                               "fixed_newton_iters", int))
     overrides.update(env_over("CIMPC_BENCH_NEWTON_ITERS", "newton_iters",
@@ -97,6 +99,7 @@ def main():
     overrides.update(env_over("CIMPC_BENCH_MPC_UNROLL", "mpc_unroll", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_RTOL", "sim_r_tol"))
     overrides.update(env_over("CIMPC_BENCH_SIM_ITERS", "sim_iters", int))
+    overrides.update(env_over("CIMPC_BENCH_SIM_LS", "sim_max_ls", int))
     overrides.update(env_over("CIMPC_BENCH_RETRIES", "sim_retries", int))
     overrides.update(env_over("CIMPC_BENCH_LS_ALLOW", "ls_growth_allow"))
     overrides.update(env_over("CIMPC_BENCH_RESET_SCALE",

@@ -59,6 +59,12 @@ class NewtonOptions:
     beta_init: float = 1.0e-5
     max_ls: int = 6
     fixed_ip_iters: int = 0  # >0: deterministic fixed-iteration knot solves
+    trial_ip_iters: int = 0  # >0 and < fixed_ip_iters: line-search TRIAL
+    #                          knot solves run this reduced budget; the
+    #                          accepted candidate is re-solved at the
+    #                          full budget (structure mode only) — the
+    #                          7-trial residual evaluation is the
+    #                          dominant Newton-stage cost
     fixed_newton_iters: int = 0  # >0: run exactly this many masked Newton
     #                              iterations (lax.fori_loop) instead of
     #                              the adaptive while_loop; converged

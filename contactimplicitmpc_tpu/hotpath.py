@@ -44,6 +44,7 @@ class HotPathConfig:
     newton_iters: int = 5
     newton_max_ls: int = 6           # line-search halvings (newton.jl:249)
     fixed_ip_iters: int = 8          # TUNING.md: fixed=8 + refine=1
+    trial_ip_iters: int = 0          # >0: reduced budget for LS trials
     fixed_newton_iters: int = 0      # 0 = adaptive while_loop
     ls_growth_allow: float = 2.0     # bounded no-accept fallback (f32)
     newton_reset_scale: float = 10.0  # cold-restart trapped warm starts
@@ -82,6 +83,7 @@ class HotPathConfig:
                              max_iter=self.newton_iters,
                              max_ls=self.newton_max_ls,
                              fixed_ip_iters=self.fixed_ip_iters,
+                             trial_ip_iters=self.trial_ip_iters,
                              fixed_newton_iters=self.fixed_newton_iters,
                              ls_growth_allow=self.ls_growth_allow)
 
