@@ -101,6 +101,7 @@ def main():
     overrides.update(env_over("CIMPC_BENCH_SIM_ITERS", "sim_iters", int))
     overrides.update(env_over("CIMPC_BENCH_SIM_LS", "sim_max_ls", int))
     overrides.update(env_over("CIMPC_BENCH_RETRIES", "sim_retries", int))
+    overrides.update(env_over("CIMPC_BENCH_WARM_FLOOR", "warm_start_floor"))
     overrides.update(env_over("CIMPC_BENCH_LS_ALLOW", "ls_growth_allow"))
     overrides.update(env_over("CIMPC_BENCH_RESET_SCALE",
                               "newton_reset_scale"))
